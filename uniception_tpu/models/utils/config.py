@@ -1,0 +1,51 @@
+"""
+Global configuration for kernel selection.
+
+TPU-native analogue of the reference's fused-attention switch
+(reference: uniception/models/utils/config.py:12-34, env var UNICEPTION_FUSED_ATTN).
+Here the switch selects the attention implementation:
+
+    - "xla":    jax.nn.dot_product_attention (XLA fuses this well on TPU)
+    - "pallas": custom Pallas flash-attention kernel (TPU only)
+    - "naive":  explicit softmax reference implementation (for parity tests)
+
+Controlled by env var ``UNICEPTION_TPU_ATTN`` or :func:`set_attention_impl`.
+"""
+
+import os
+import warnings
+
+__all__ = ["get_attention_impl", "set_attention_impl", "use_fused_attn", "set_fused_attn"]
+
+_VALID_IMPLS = ("xla", "pallas", "naive")
+
+_ATTN_IMPL = os.environ.get("UNICEPTION_TPU_ATTN", "xla")
+if _ATTN_IMPL not in _VALID_IMPLS:
+    warnings.warn(f"Invalid UNICEPTION_TPU_ATTN={_ATTN_IMPL!r}; falling back to 'xla'")
+    _ATTN_IMPL = "xla"
+
+
+def get_attention_impl() -> str:
+    "Return the currently selected attention implementation."
+    return _ATTN_IMPL
+
+
+def set_attention_impl(impl: str):
+    "Select the attention implementation ('xla', 'pallas' or 'naive')."
+    global _ATTN_IMPL
+    if impl not in _VALID_IMPLS:
+        raise ValueError(f"Invalid attention impl {impl!r}; must be one of {_VALID_IMPLS}")
+    _ATTN_IMPL = impl
+
+
+# --- reference-API compatibility shims (uniception/models/utils/config.py:20-34) ---
+
+
+def use_fused_attn() -> bool:
+    "True when a fused (non-naive) attention implementation is selected."
+    return _ATTN_IMPL != "naive"
+
+
+def set_fused_attn(enable: bool = True):
+    "Enable (xla) or disable (naive) fused attention, mirroring the reference API."
+    set_attention_impl("xla" if enable else "naive")

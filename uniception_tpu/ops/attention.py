@@ -1,0 +1,76 @@
+"""
+Attention dispatch for TPU.
+
+TPU-native replacement for the reference's fused-vs-manual attention switch
+(reference: uniception/models/utils/transformer_blocks.py:243-252 chooses
+F.scaled_dot_product_attention vs explicit softmax via utils/config.py).
+
+Token layout is (B, N, H, D) — batch, tokens, heads, head-dim — the layout
+`jax.nn.dot_product_attention` expects and the one that avoids transposes
+around the (B, N, C) <-> (B, N, H, D) reshapes.
+
+Implementations:
+    * "xla":    jax.nn.dot_product_attention — XLA emits MXU-tiled fused
+                matmul/softmax chains; the default.
+    * "pallas": Pallas TPU flash-attention kernel (ops/flash_attention.py);
+                falls back to "xla" off-TPU.
+    * "naive":  explicit softmax in fp32 — the parity oracle.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from uniception_tpu.models.utils.config import get_attention_impl
+
+__all__ = ["scaled_dot_product_attention"]
+
+
+def _naive_attention(q, k, v, scale):
+    # explicit softmax reference path (transformer_blocks.py:247-252)
+    q = q * scale
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, N, H, D) tensors.
+
+    Args:
+        q: queries (B, Nq, H, D)
+        k: keys (B, Nk, H, D)
+        v: values (B, Nk, H, D)
+        scale: softmax scale; defaults to D**-0.5.
+        impl: override the globally configured implementation.
+
+    Returns:
+        (B, Nq, H, D) attention output.
+    """
+    impl = impl or get_attention_impl()
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if impl == "naive":
+        return _naive_attention(q, k, v, scale)
+
+    if impl == "pallas" and _on_tpu():
+        from uniception_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+
+    return jax.nn.dot_product_attention(q, k, v, scale=scale)

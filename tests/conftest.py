@@ -1,0 +1,36 @@
+"""
+Test configuration.
+
+Tests run on CPU with 8 virtual devices (the TPU-native answer to testing
+multi-chip sharding without a pod — see SURVEY.md §4) and full fp32 matmul
+precision so parity checks against the torch reference are meaningful.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_PATH = "/root/reference"
+
+
+def pytest_addoption(parser):
+    parser.addoption("--encoder-name", action="store", default=None, help="run encoder tests for a single encoder")
+    parser.addoption("--device", action="store", default="cpu", help="cpu or tpu")
+
+
+def has_reference() -> bool:
+    "True when the PyTorch reference implementation is importable (used as a numeric oracle)."
+    return os.path.isdir(os.path.join(REFERENCE_PATH, "uniception"))
+
+
+def add_reference_to_path():
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)

@@ -1,0 +1,61 @@
+"""
+Small shared NN utilities: Identity, exact GELU, initializers.
+
+Initializer parity notes (vs torch):
+    * torch xavier_uniform on a (out, in) weight == jax xavier_uniform on the
+      (in, out) kernel (the bound depends only on fan_in + fan_out).
+    * torch trunc_normal_(std=0.02, a=-2, b=2) is effectively an untruncated
+      normal at +-100 sigma; jax truncated_normal truncates at +-2 sigma.
+      The difference is immaterial (weights are loaded from checkpoints for
+      parity-critical paths).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+__all__ = ["Identity", "gelu_exact", "xavier_uniform", "trunc_normal", "LinearX"]
+
+
+class Identity(nnx.Module):
+    "A no-op module (torch nn.Identity analogue)."
+
+    def __call__(self, x, *args, **kwargs):
+        return x
+
+
+def gelu_exact(x):
+    "Exact (erf-based) GELU, matching torch nn.GELU's default."
+    return jax.nn.gelu(x, approximate=False)
+
+
+xavier_uniform = jax.nn.initializers.xavier_uniform()
+
+
+def trunc_normal(std: float = 0.02):
+    return jax.nn.initializers.truncated_normal(stddev=std)
+
+
+def LinearX(
+    in_features: int,
+    out_features: int,
+    *,
+    use_bias: bool = True,
+    dtype=None,
+    param_dtype=jnp.float32,
+    rngs: nnx.Rngs,
+) -> nnx.Linear:
+    """nnx.Linear with the reference's init scheme: xavier-uniform kernel,
+    zero bias (reference: encoders/croco.py:136-145 et al.)."""
+    return nnx.Linear(
+        in_features,
+        out_features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=xavier_uniform,
+        bias_init=jax.nn.initializers.zeros,
+        rngs=rngs,
+    )

@@ -65,7 +65,10 @@ def scaled_dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if impl == "naive":
+    # jax.nn.dot_product_attention and the flash kernel require matching
+    # q/k/v head dims; differential attention uses Dv = 2*Dq (torch SDPA
+    # permits this), so route it through the explicit einsum path.
+    if impl == "naive" or v.shape[-1] != q.shape[-1]:
         return _naive_attention(q, k, v, scale)
 
     if impl == "pallas" and _on_tpu():

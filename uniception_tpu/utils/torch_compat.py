@@ -1,0 +1,112 @@
+"""
+PyTorch <-> JAX weight bridging.
+
+Implements the checkpoint contract of the reference library
+(``ckpt["model"]`` is a torch state dict; reference: encoders/croco.py:99-111)
+for nnx modules whose attribute names mirror the torch module names.
+
+Conventions handled automatically:
+    * nnx.Linear kernel (in, out)        <- torch weight (out, in), transposed
+    * nnx.Conv kernel (kh, kw, in, out)  <- torch Conv2d weight (out, in, kh, kw)
+    * nnx.ConvTranspose kernel (kh, kw, in, out) <- torch (in, out, kh, kw)
+    * nnx.LayerNorm scale/bias           <- torch weight/bias
+    * nnx.GroupNorm scale/bias           <- torch weight/bias
+    * everything else (Param leaves)     <- same-named tensor, same shape
+
+Torch is only needed to *read* .pth files (scripts/convert); this module
+itself only needs numpy arrays keyed by dotted names.
+"""
+
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+__all__ = ["load_torch_state_dict", "state_dict_from_module", "torch_key_for"]
+
+
+def _leaf_entries(module: nnx.Module) -> List[Tuple[str, Any, str, Any]]:
+    """Yield (dotted_path, owner_module, attr_name, variable) for each Param leaf."""
+    entries = []
+    for path, mod in nnx.iter_modules(module):
+        for attr, val in vars(mod).items():
+            if isinstance(val, nnx.Param):
+                dotted = ".".join(str(p) for p in path + (attr,))
+                entries.append((dotted, mod, attr, val))
+    return entries
+
+
+def torch_key_for(dotted: str, owner: nnx.Module, attr: str) -> str:
+    "Translate an nnx leaf path to the corresponding torch state-dict key."
+    if isinstance(owner, (nnx.Linear, nnx.Conv, nnx.ConvTranspose)) and attr == "kernel":
+        return dotted.rsplit(".", 1)[0] + ".weight"
+    if isinstance(owner, (nnx.LayerNorm, nnx.GroupNorm, nnx.RMSNorm, nnx.BatchNorm)) and attr == "scale":
+        return dotted.rsplit(".", 1)[0] + ".weight"
+    return dotted
+
+
+def _to_jax(owner: nnx.Module, attr: str, torch_arr: np.ndarray, target_shape) -> np.ndarray:
+    if isinstance(owner, nnx.Linear) and attr == "kernel":
+        return np.ascontiguousarray(torch_arr.T)
+    if isinstance(owner, nnx.Conv) and attr == "kernel":
+        return np.ascontiguousarray(np.transpose(torch_arr, (2, 3, 1, 0)))
+    if isinstance(owner, nnx.ConvTranspose) and attr == "kernel":
+        # torch: (in, out, kh, kw) -> flax: (kh, kw, in, out), spatially flipped
+        # (torch's conv_transpose correlates with the flipped kernel relative
+        # to flax's convention with transpose_kernel=False).
+        return np.ascontiguousarray(np.transpose(torch_arr, (2, 3, 0, 1)))
+    return torch_arr
+
+
+def _from_jax(owner: nnx.Module, attr: str, jax_arr: np.ndarray) -> np.ndarray:
+    if isinstance(owner, nnx.Linear) and attr == "kernel":
+        return np.ascontiguousarray(jax_arr.T)
+    if isinstance(owner, nnx.Conv) and attr == "kernel":
+        return np.ascontiguousarray(np.transpose(jax_arr, (3, 2, 0, 1)))
+    if isinstance(owner, nnx.ConvTranspose) and attr == "kernel":
+        return np.ascontiguousarray(np.transpose(jax_arr, (2, 3, 0, 1)))
+    return np.asarray(jax_arr)
+
+
+def load_torch_state_dict(
+    module: nnx.Module,
+    state_dict: Dict[str, np.ndarray],
+    strict: bool = True,
+    verbose: bool = True,
+) -> Tuple[List[str], List[str]]:
+    """Load a torch-layout state dict (numpy arrays) into an nnx module in place.
+
+    Returns (missing_keys, unexpected_keys), mirroring torch's
+    ``load_state_dict`` report printed by the reference loaders.
+    """
+    used = set()
+    missing = []
+    for dotted, owner, attr, var in _leaf_entries(module):
+        tkey = torch_key_for(dotted, owner, attr)
+        if tkey not in state_dict:
+            missing.append(tkey)
+            continue
+        arr = np.asarray(state_dict[tkey])
+        arr = _to_jax(owner, attr, arr, var.shape)
+        cur = var[...]
+        if arr.shape != cur.shape:
+            raise ValueError(f"Shape mismatch for {tkey}: torch {arr.shape} vs module {cur.shape}")
+        var[...] = jnp.asarray(arr, dtype=cur.dtype)
+        used.add(tkey)
+
+    unexpected = [k for k in state_dict.keys() if k not in used]
+    if verbose and (missing or unexpected):
+        print(f"load_torch_state_dict: missing_keys={missing}, unexpected_keys={unexpected}")
+    if strict and missing:
+        raise KeyError(f"Missing keys in state dict: {missing}")
+    return missing, unexpected
+
+
+def state_dict_from_module(module: nnx.Module) -> Dict[str, np.ndarray]:
+    "Export the module's params as a torch-layout state dict (numpy arrays)."
+    out = {}
+    for dotted, owner, attr, var in _leaf_entries(module):
+        tkey = torch_key_for(dotted, owner, attr)
+        out[tkey] = _from_jax(owner, attr, np.asarray(var[...]))
+    return out

@@ -38,7 +38,7 @@ def test_rope2d_matches_torch_fallback():
     t_out = t_out.permute(0, 2, 1, 3).numpy()
 
     j_out = np.asarray(rope_2d(jnp.asarray(tok), jnp.asarray(pos)))
-    assert np.abs(t_out - j_out).max() < 1e-5
+    assert np.abs(t_out - j_out).max() < 5e-5
 
 
 def test_rope2d_inverse_is_negative_f0():

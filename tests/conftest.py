@@ -9,6 +9,9 @@ precision so parity checks against the torch reference are meaningful.
 import os
 import sys
 
+# JAX_PLATFORM_NAME (not JAX_PLATFORMS) — the axon TPU shim intercepts the
+# latter and still returns the TPU device.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -34,3 +37,32 @@ def has_reference() -> bool:
 def add_reference_to_path():
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
+    _stub_missing_optional_deps()
+
+
+def _stub_missing_optional_deps():
+    """The reference's package __init__ imports every encoder, some of which
+    need optional deps (timm, ...) that aren't installed here. Stub just
+    enough for the imports to succeed — the stubs are never executed by the
+    modules we actually test against."""
+    import types
+
+    try:
+        import timm  # noqa: F401
+    except ImportError:
+        timm = types.ModuleType("timm")
+        layers = types.ModuleType("timm.layers")
+
+        def _to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        class _DropPath:  # pragma: no cover - import stub only
+            def __init__(self, *a, **k):
+                raise RuntimeError("timm stub used at runtime")
+
+        layers.DropPath = _DropPath
+        layers.to_2tuple = _to_2tuple
+        layers.trunc_normal_ = lambda *a, **k: None
+        timm.layers = layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.layers"] = layers

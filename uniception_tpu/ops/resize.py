@@ -1,0 +1,123 @@
+"""
+Image resize with exact torch `F.interpolate` semantics.
+
+XLA's `jax.image.resize` only implements half-pixel (align_corners=False)
+sampling; the reference relies on bilinear align_corners=True in the DPT
+fusion/regression path (dpt_block.py:305-312, dpt.py:304) and bicubic
+align_corners=False for positional-embedding interpolation. This module
+implements both as *separable weight-matrix contractions*: a (H_out, H_in)
+row-interp matmul followed by a (W_out, W_in) column-interp matmul — exact,
+differentiable, and MXU-friendly (the matrices are tiny and constant-folded
+under jit).
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["interpolate", "resize_bilinear", "resize_bicubic"]
+
+
+@functools.lru_cache(maxsize=64)
+def _linear_weights(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    "Dense (n_out, n_in) bilinear interpolation matrix (torch semantics)."
+    w = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1 or n_in == 1:
+        # torch: align_corners with single element -> index 0; half-pixel maps in-range
+        for i in range(n_out):
+            if align_corners:
+                src = 0.0 if n_out == 1 else i * (n_in - 1) / (n_out - 1)
+            else:
+                src = max(0.0, (i + 0.5) * n_in / n_out - 0.5)
+            i0 = int(np.floor(src))
+            i0 = min(i0, n_in - 1)
+            i1 = min(i0 + 1, n_in - 1)
+            f = src - i0
+            w[i, i0] += 1 - f
+            w[i, i1] += f
+        return w
+    for i in range(n_out):
+        if align_corners:
+            src = i * (n_in - 1) / (n_out - 1)
+        else:
+            src = (i + 0.5) * n_in / n_out - 0.5
+            src = min(max(src, 0.0), n_in - 1)
+        i0 = int(np.floor(src))
+        i0 = min(i0, n_in - 1)
+        i1 = min(i0 + 1, n_in - 1)
+        f = src - i0
+        w[i, i0] += 1 - f
+        w[i, i1] += f
+    return w
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    "Keys cubic convolution kernel with torch's a=-0.75."
+    ax = np.abs(x)
+    ax2, ax3 = ax**2, ax**3
+    out = np.where(ax <= 1, (a + 2) * ax3 - (a + 3) * ax2 + 1, 0.0)
+    out = np.where((ax > 1) & (ax < 2), a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, out)
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _cubic_weights(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    "Dense (n_out, n_in) bicubic interpolation matrix (torch semantics)."
+    w = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_out):
+        if align_corners:
+            src = 0.0 if n_out == 1 else i * (n_in - 1) / (n_out - 1)
+        else:
+            src = (i + 0.5) * n_in / n_out - 0.5
+        i0 = int(np.floor(src))
+        f = src - i0
+        idx = np.array([i0 - 1, i0, i0 + 1, i0 + 2])
+        weights = _cubic_kernel(np.array([f + 1, f, f - 1, f - 2]))
+        # torch border handling: clamp indices (replicate edge)
+        idx = np.clip(idx, 0, n_in - 1)
+        for j, ww in zip(idx, weights):
+            w[i, j] += ww
+    return w
+
+
+def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+    "x: (..., H, W) -> (..., H_out, W_out) via two contractions."
+    dt = x.dtype
+    wh_j = jnp.asarray(wh, dt)
+    ww_j = jnp.asarray(ww, dt)
+    x = jnp.einsum("oh,...hw->...ow", wh_j, x)
+    x = jnp.einsum("pw,...ow->...op", ww_j, x)
+    return x
+
+
+def interpolate(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilinear", align_corners: bool = False):
+    """torch.nn.functional.interpolate equivalent over (..., H, W) arrays.
+
+    Supports mode in {"bilinear", "bicubic", "nearest"}.
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    if size is None:
+        assert scale_factor is not None
+        sf = scale_factor if isinstance(scale_factor, (tuple, list)) else (scale_factor, scale_factor)
+        size = (int(H * sf[0]), int(W * sf[1]))
+    Ho, Wo = int(size[0]), int(size[1])
+    if (Ho, Wo) == (H, W):
+        return x
+    if mode == "bilinear":
+        return _apply_separable(x, _linear_weights(H, Ho, align_corners), _linear_weights(W, Wo, align_corners))
+    if mode == "bicubic":
+        return _apply_separable(x, _cubic_weights(H, Ho, align_corners), _cubic_weights(W, Wo, align_corners))
+    if mode == "nearest":
+        hi = np.clip((np.arange(Ho) * H) // Ho, 0, H - 1)
+        wi = np.clip((np.arange(Wo) * W) // Wo, 0, W - 1)
+        return x[..., hi, :][..., wi]
+    raise ValueError(f"Unknown interpolation mode: {mode}")
+
+
+def resize_bilinear(x, size, align_corners=False):
+    return interpolate(x, size=size, mode="bilinear", align_corners=align_corners)
+
+
+def resize_bicubic(x, size, align_corners=False):
+    return interpolate(x, size=size, mode="bicubic", align_corners=align_corners)

@@ -52,10 +52,10 @@ def _to_jax(owner: nnx.Module, attr: str, torch_arr: np.ndarray, target_shape) -
     if isinstance(owner, nnx.Conv) and attr == "kernel":
         return np.ascontiguousarray(np.transpose(torch_arr, (2, 3, 1, 0)))
     if isinstance(owner, nnx.ConvTranspose) and attr == "kernel":
-        # torch: (in, out, kh, kw) -> flax: (kh, kw, in, out), spatially flipped
-        # (torch's conv_transpose correlates with the flipped kernel relative
-        # to flax's convention with transpose_kernel=False).
-        return np.ascontiguousarray(np.transpose(torch_arr, (2, 3, 0, 1)))
+        # torch: (in, out, kh, kw) -> flax: (kh, kw, in, out), spatially
+        # flipped (torch's conv_transpose scatters the kernel directly while
+        # flax with transpose_kernel=False correlates with the mirrored one).
+        return np.ascontiguousarray(np.transpose(torch_arr[:, :, ::-1, ::-1], (2, 3, 0, 1)))
     return torch_arr
 
 
@@ -65,7 +65,7 @@ def _from_jax(owner: nnx.Module, attr: str, jax_arr: np.ndarray) -> np.ndarray:
     if isinstance(owner, nnx.Conv) and attr == "kernel":
         return np.ascontiguousarray(np.transpose(jax_arr, (3, 2, 0, 1)))
     if isinstance(owner, nnx.ConvTranspose) and attr == "kernel":
-        return np.ascontiguousarray(np.transpose(jax_arr, (2, 3, 0, 1)))
+        return np.ascontiguousarray(np.transpose(jax_arr, (2, 3, 0, 1))[:, :, ::-1, ::-1])
     return np.asarray(jax_arr)
 
 

@@ -18,7 +18,11 @@ from uniception_tpu.models.encoders.base import (
     ViTEncoderOutput,
 )
 from uniception_tpu.models.encoders.croco import CroCoEncoder, CroCoIntermediateFeatureReturner
+from uniception_tpu.models.encoders.dense_rep_encoder import DenseRepresentationEncoder
+from uniception_tpu.models.encoders.dinov2 import DINOv2Encoder, DINOv2IntermediateFeatureReturner
+from uniception_tpu.models.encoders.global_rep_encoder import GlobalRepresentationEncoder
 from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT, ImageNormalization
+from uniception_tpu.models.encoders.patch_embedder import PatchEmbedder
 
 ENCODER_CONFIGS = {
     "croco": {
@@ -26,8 +30,23 @@ ENCODER_CONFIGS = {
         "intermediate_feature_returner_class": CroCoIntermediateFeatureReturner,
         "supported_models": ["CroCov2", "DUSt3R", "MASt3R"],
     },
-    # Further encoders register themselves on import (see _register below and
-    # the lazy imports at the bottom of this module).
+    "dense_rep_encoder": {
+        "class": DenseRepresentationEncoder,
+        "supported_models": ["Dense-Representation-Encoder"],
+    },
+    "dinov2": {
+        "class": DINOv2Encoder,
+        "intermediate_feature_returner_class": DINOv2IntermediateFeatureReturner,
+        "supported_models": ["DINOv2", "DINOv2-Registers", "DINOv2-Depth-Anythingv2"],
+    },
+    "global_rep_encoder": {
+        "class": GlobalRepresentationEncoder,
+        "supported_models": ["Global-Representation-Encoder"],
+    },
+    "patch_embedder": {
+        "class": PatchEmbedder,
+        "supported_models": ["Patch-Embedder"],
+    },
 }
 
 

@@ -128,16 +128,11 @@ class DinoVisionTransformer(nnx.Module):
     def _interpolated_pos_embed(self, hp: int, wp: int, dtype):
         """Bicubic PE interpolation with DINOv2's scale-factor offset trick
         (dinov2 vision_transformer.interpolate_pos_encoding)."""
+        from uniception_tpu.models.encoders.pe_utils import interpolate_patch_pos_embed
+
         pe = self.pos_embed[...].astype(jnp.float32)
         cls_pe, patch_pe = pe[:, :1], pe[:, 1:]
-        n = patch_pe.shape[1]
-        m = int(math.sqrt(n))
-        assert m * m == n
-        if (hp, wp) != (m, m):
-            grid = patch_pe.reshape(1, m, m, -1)
-            grid = jnp.transpose(grid, (0, 3, 1, 2))  # (1, D, m, m)
-            grid = interpolate(grid, size=(hp, wp), mode="bicubic", align_corners=False)
-            patch_pe = jnp.transpose(grid, (0, 2, 3, 1)).reshape(1, hp * wp, -1)
+        patch_pe = interpolate_patch_pos_embed(patch_pe, hp, wp, self.interpolate_offset, self.interpolate_antialias)
         return cls_pe.astype(dtype), patch_pe.astype(dtype)
 
     # --- forward ------------------------------------------------------------

@@ -20,28 +20,15 @@ __all__ = ["interpolate", "resize_bilinear", "resize_bicubic"]
 
 
 @functools.lru_cache(maxsize=64)
-def _linear_weights(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+def _linear_weights(n_in: int, n_out: int, align_corners: bool, scale=None) -> np.ndarray:
     "Dense (n_out, n_in) bilinear interpolation matrix (torch semantics)."
     w = np.zeros((n_out, n_in), dtype=np.float32)
-    if n_out == 1 or n_in == 1:
-        # torch: align_corners with single element -> index 0; half-pixel maps in-range
-        for i in range(n_out):
-            if align_corners:
-                src = 0.0 if n_out == 1 else i * (n_in - 1) / (n_out - 1)
-            else:
-                src = max(0.0, (i + 0.5) * n_in / n_out - 0.5)
-            i0 = int(np.floor(src))
-            i0 = min(i0, n_in - 1)
-            i1 = min(i0 + 1, n_in - 1)
-            f = src - i0
-            w[i, i0] += 1 - f
-            w[i, i1] += f
-        return w
     for i in range(n_out):
         if align_corners:
-            src = i * (n_in - 1) / (n_out - 1)
+            src = 0.0 if n_out == 1 else i * (n_in - 1) / (n_out - 1)
         else:
-            src = (i + 0.5) * n_in / n_out - 0.5
+            s = scale if scale is not None else n_out / n_in
+            src = (i + 0.5) / s - 0.5
             src = min(max(src, 0.0), n_in - 1)
         i0 = int(np.floor(src))
         i0 = min(i0, n_in - 1)
@@ -62,14 +49,15 @@ def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _cubic_weights(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+def _cubic_weights(n_in: int, n_out: int, align_corners: bool, scale=None) -> np.ndarray:
     "Dense (n_out, n_in) bicubic interpolation matrix (torch semantics)."
     w = np.zeros((n_out, n_in), dtype=np.float32)
     for i in range(n_out):
         if align_corners:
             src = 0.0 if n_out == 1 else i * (n_in - 1) / (n_out - 1)
         else:
-            src = (i + 0.5) * n_in / n_out - 0.5
+            s = scale if scale is not None else n_out / n_in
+            src = (i + 0.5) / s - 0.5
         i0 = int(np.floor(src))
         f = src - i0
         idx = np.array([i0 - 1, i0, i0 + 1, i0 + 2])
@@ -94,20 +82,30 @@ def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndar
 def interpolate(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilinear", align_corners: bool = False):
     """torch.nn.functional.interpolate equivalent over (..., H, W) arrays.
 
-    Supports mode in {"bilinear", "bicubic", "nearest"}.
+    Supports mode in {"bilinear", "bicubic", "nearest"}. When scale_factor
+    is given, source coordinates use the *explicit* scale (torch semantics:
+    src = (i + 0.5) / scale - 0.5), which matters for DINO's historical
+    interpolate_offset=0.1 kludge.
     """
     H, W = x.shape[-2], x.shape[-1]
+    scales = (None, None)
     if size is None:
         assert scale_factor is not None
         sf = scale_factor if isinstance(scale_factor, (tuple, list)) else (scale_factor, scale_factor)
         size = (int(H * sf[0]), int(W * sf[1]))
+        if not align_corners:
+            scales = (float(sf[0]), float(sf[1]))
     Ho, Wo = int(size[0]), int(size[1])
-    if (Ho, Wo) == (H, W):
+    if (Ho, Wo) == (H, W) and scales == (None, None):
         return x
     if mode == "bilinear":
-        return _apply_separable(x, _linear_weights(H, Ho, align_corners), _linear_weights(W, Wo, align_corners))
+        return _apply_separable(
+            x, _linear_weights(H, Ho, align_corners, scales[0]), _linear_weights(W, Wo, align_corners, scales[1])
+        )
     if mode == "bicubic":
-        return _apply_separable(x, _cubic_weights(H, Ho, align_corners), _cubic_weights(W, Wo, align_corners))
+        return _apply_separable(
+            x, _cubic_weights(H, Ho, align_corners, scales[0]), _cubic_weights(W, Wo, align_corners, scales[1])
+        )
     if mode == "nearest":
         hi = np.clip((np.arange(Ho) * H) // Ho, 0, H - 1)
         wi = np.clip((np.arange(Wo) * W) // Wo, 0, W - 1)

@@ -14,15 +14,33 @@ from uniception_tpu.models.info_sharing.base import (
     MultiViewTransformerOutput,
     UniCeptionInfoSharingBase,
 )
+from uniception_tpu.models.info_sharing.alternating_attention_transformer import (
+    MultiViewAlternatingAttentionTransformer,
+    MultiViewAlternatingAttentionTransformerIFR,
+)
 from uniception_tpu.models.info_sharing.cross_attention_transformer import (
     MultiViewCrossAttentionTransformer,
     MultiViewCrossAttentionTransformerIFR,
 )
+from uniception_tpu.models.info_sharing.diff_cross_attention_transformer import (
+    DifferentialMultiViewCrossAttentionTransformer,
+    DifferentialMultiViewCrossAttentionTransformerIFR,
+)
+from uniception_tpu.models.info_sharing.global_attention_transformer import (
+    GlobalAttentionTransformer,
+    MultiViewGlobalAttentionTransformer,
+    MultiViewGlobalAttentionTransformerIFR,
+)
 
 INFO_SHARING_CLASSES = {
     "cross_attention": (MultiViewCrossAttentionTransformer, MultiViewCrossAttentionTransformerIFR),
+    "diff_cross_attention": (
+        DifferentialMultiViewCrossAttentionTransformer,
+        DifferentialMultiViewCrossAttentionTransformerIFR,
+    ),
+    "alternating_attention": (
+        MultiViewAlternatingAttentionTransformer,
+        MultiViewAlternatingAttentionTransformerIFR,
+    ),
+    "global_attention": (MultiViewGlobalAttentionTransformer, MultiViewGlobalAttentionTransformerIFR),
 }
-
-
-def _register(name, cls, ifr_cls):
-    INFO_SHARING_CLASSES[name] = (cls, ifr_cls)

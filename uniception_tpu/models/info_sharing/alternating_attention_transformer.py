@@ -1,0 +1,134 @@
+"""
+Multi-view alternating-attention transformer (VGGT-style).
+
+Behavioral parity with reference
+uniception/models/info_sharing/alternating_attention_transformer.py:22-997:
+even depths run global attention over all views' tokens; odd depths reshape
+(N, V*T, C) -> (N*V, T, C) for frame-local attention (:396-446). Global
+extra tokens only join the global (even) layers; per-view extra tokens join
+both. Defaults differ from the global transformer: non-reference-view PE is
+off by default.
+
+The frame/global switch is a pure reshape — XLA-friendly with static shapes.
+Token prep/split logic is shared with MultiViewGlobalAttentionTransformer.
+"""
+
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+from flax import nnx
+
+from uniception_tpu.models.info_sharing.base import MultiViewTransformerInput, MultiViewTransformerOutput
+from uniception_tpu.models.info_sharing.global_attention_transformer import (
+    MultiViewGlobalAttentionTransformer,
+)
+from uniception_tpu.models.utils.intermediate_feature_return import (
+    IntermediateFeatureReturner,
+    feature_take_indices,
+)
+
+__all__ = [
+    "MultiViewAlternatingAttentionTransformer",
+    "MultiViewAlternatingAttentionTransformerIFR",
+    "reshape_for_frame_attention",
+]
+
+
+def reshape_for_frame_attention(tokens: jnp.ndarray, num_views: int, tokens_per_view: int, dim: int):
+    "(N, V*T, C) -> (N*V, T, C) (alternating_attention_transformer.py:404-417)."
+    B = tokens.shape[0]
+    return tokens.reshape(B * num_views, tokens_per_view, dim)
+
+
+def reshape_from_frame_attention(tokens: jnp.ndarray, batch_size: int, num_views: int, tokens_per_view: int, dim: int):
+    "(N*V, T, C) -> (N, V*T, C)."
+    return tokens.reshape(batch_size, num_views * tokens_per_view, dim)
+
+
+class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransformer):
+    "Alternating global/frame attention over multi-view tokens."
+
+    def __init__(
+        self,
+        name: str,
+        input_embed_dim: int,
+        distinguish_ref_and_non_ref_views: bool = True,
+        use_pe_for_non_reference_views: bool = False,  # default differs from global (alternating:31)
+        max_num_views_for_pe: int = 1000,
+        use_rand_idx_pe_for_non_reference_views: bool = True,
+        **kwargs,
+    ):
+        super().__init__(
+            name=name,
+            input_embed_dim=input_embed_dim,
+            distinguish_ref_and_non_ref_views=distinguish_ref_and_non_ref_views,
+            use_pe_for_non_reference_views=use_pe_for_non_reference_views,
+            max_num_views_for_pe=max_num_views_for_pe,
+            use_rand_idx_pe_for_non_reference_views=use_rand_idx_pe_for_non_reference_views,
+            **kwargs,
+        )
+
+    def _run_depth(self, depth_idx, tokens, pos, meta):
+        B, H, W, num_views, n_tok_per_view, n_extra_per_view, n_global = meta
+        blk = self.self_attention_blocks[depth_idx]
+        if depth_idx % 2 == 0:
+            # global attention over all views (+ global extra tokens)
+            return self._block_apply(blk, tokens, pos)
+        # frame attention: split off global extra tokens, fold views into batch
+        n_view_tokens = num_views * n_tok_per_view
+        view_part = tokens[:, :n_view_tokens]
+        extra_part = tokens[:, n_view_tokens:] if n_global else None
+
+        frame_tokens = reshape_for_frame_attention(view_part, num_views, n_tok_per_view, self.dim)
+        frame_pos = None
+        if pos is not None:
+            frame_pos = pos[:, :n_view_tokens].reshape(B * num_views, n_tok_per_view, 2)
+        frame_tokens = self._block_apply(blk, frame_tokens, frame_pos)
+        view_part = reshape_from_frame_attention(frame_tokens, B, num_views, n_tok_per_view, self.dim)
+
+        if extra_part is not None:
+            return jnp.concatenate([view_part, extra_part], axis=1)
+        return view_part
+
+    def __call__(self, model_input: MultiViewTransformerInput, rng_key=None) -> MultiViewTransformerOutput:
+        tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
+        for depth_idx in range(self.depth):
+            tokens = self._run_depth(depth_idx, tokens, pos, meta)
+        return self._split_output(self.norm(tokens), meta)
+
+
+class MultiViewAlternatingAttentionTransformerIFR(MultiViewAlternatingAttentionTransformer, IntermediateFeatureReturner):
+    "Alternating-attention transformer returning intermediate depths (:502-997)."
+
+    def __init__(
+        self,
+        *args,
+        indices: Optional[Union[int, List[int]]] = None,
+        norm_intermediate: bool = True,
+        intermediates_only: bool = False,
+        **kwargs,
+    ):
+        MultiViewAlternatingAttentionTransformer.__init__(self, *args, **kwargs)
+        IntermediateFeatureReturner.__init__(
+            self, indices=indices, norm_intermediate=norm_intermediate, intermediates_only=intermediates_only
+        )
+
+    def __call__(
+        self, model_input: MultiViewTransformerInput, rng_key=None
+    ) -> Union[
+        List[MultiViewTransformerOutput],
+        Tuple[MultiViewTransformerOutput, List[MultiViewTransformerOutput]],
+    ]:
+        take_indices, _ = feature_take_indices(self.depth, self.indices)
+        tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
+
+        intermediates = []
+        for depth_idx in range(self.depth):
+            tokens = self._run_depth(depth_idx, tokens, pos, meta)
+            if depth_idx in take_indices:
+                t = self.norm(tokens) if self.norm_intermediate else tokens
+                intermediates.append(self._split_output(t, meta))
+
+        if self.intermediates_only:
+            return intermediates
+        return self._split_output(self.norm(tokens), meta), intermediates

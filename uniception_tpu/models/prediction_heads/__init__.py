@@ -24,4 +24,14 @@ from uniception_tpu.models.prediction_heads.base import (
     UniCeptionAdaptorBase,
     UniCeptionPredictionHeadBase,
 )
+from uniception_tpu.models.prediction_heads.dpt import (
+    DPTFeature,
+    DPTFeatureDoubleUpsampling,
+    DPTRegressionProcessor,
+    DPTSegmentationProcessor,
+)
+from uniception_tpu.models.prediction_heads.global_head import GlobalHead
 from uniception_tpu.models.prediction_heads.linear import LinearFeature
+from uniception_tpu.models.prediction_heads.mlp_feature import MLPFeature
+from uniception_tpu.models.prediction_heads.mlp_head import MLPHead
+from uniception_tpu.models.prediction_heads.pose_head import PoseHead

@@ -3,14 +3,21 @@ Headline benchmark: two-view DUSt3R ViT-L pointmap inference @ 512x512.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md); vs_baseline is computed
-against an analytic estimate of the reference's throughput on its target
-GPU (A100, fp16 autocast, assumed 40% MFU over the measured model FLOPs) —
-see BASELINE.md for the derivation. The north-star target is >=3x that
-(BASELINE.json).
+Methodology: the model runs in bf16 (params + compute) with the Pallas
+flash-attention kernel; iterations are chained inside a single jit'd
+lax.scan (data-dependent carry) so the measurement reflects pure device
+time — the axon host<->TPU tunnel adds ~100ms per fetch, which a naive
+per-call timing loop would mis-attribute.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
+is an analytic estimate of the reference's throughput on its target GPU
+(A100 fp16 autocast at an assumed 40% MFU over the measured model FLOPs).
+The north-star target is >=3x that (BASELINE.json).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -22,70 +29,72 @@ def main():
     from flax import nnx
 
     from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.models.utils.config import set_attention_impl
 
-    IMG = 512
-    BATCH = int(__import__("os").environ.get("BENCH_BATCH", "4"))
-    DTYPE = jnp.bfloat16
+    set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
+    IMG = int(os.environ.get("BENCH_IMG", "512"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
     model = DUSt3R(
         name="dust3r_512_linear",
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type="linear",
-        dtype=DTYPE,
+        dtype=jnp.bfloat16,
         rngs=nnx.Rngs(0),
     )
     graphdef, state = nnx.split(model)
+    # bf16 weights: inference-serving configuration
+    state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
 
-    def fwd(state, img1, img2, ts1, ts2):
+    def one(state, img1, img2, ts, carry):
         m = nnx.merge(graphdef, state)
-        res1, res2 = m.forward_pair(img1, img2, true_shape1=ts1, true_shape2=ts2)
-        return res1["pts3d"], res1["conf"], res2["pts3d_in_other_view"], res2["conf"]
+        r1, r2 = m.forward_pair(img1 + carry * 1e-12, img2, true_shape1=ts, true_shape2=ts)
+        return (r1["pts3d"].mean() + r1["conf"].mean() + r2["pts3d_in_other_view"].mean()).astype(jnp.float32)
 
-    fwd_jit = jax.jit(fwd)
+    def make(iters):
+        @jax.jit
+        def many(state, img1, img2, ts):
+            def body(c, _):
+                return one(state, img1, img2, ts, c), None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return s
+
+        return many
 
     rng = np.random.RandomState(0)
     img1 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
     img2 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
     ts = jnp.broadcast_to(jnp.asarray([IMG, IMG], jnp.int32), (BATCH, 2))
 
-    # warmup / compile
-    out = fwd_jit(state, img1, img2, ts, ts)
-    jax.block_until_ready(out)
+    short, long = make(2), make(2 + ITERS)
+    float(short(state, img1, img2, ts))  # compile
+    float(long(state, img1, img2, ts))
 
-    # timed runs
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd_jit(state, img1, img2, ts, ts)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    t_short, t_long = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(short(state, img1, img2, ts))
+        t_short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(long(state, img1, img2, ts))
+        t_long.append(time.perf_counter() - t0)
+    per_iter = (min(t_long) - min(t_short)) / ITERS
+    pairs_per_sec = BATCH / per_iter
 
-    pairs_per_sec = BATCH * n_iters / dt
-
-    # analytic flops per pair (fwd), for the MFU-derived baseline estimate
-    n_tok = (IMG // 16) ** 2  # 1024 tokens per view
-
-    def block_flops(n, d, mlp_ratio=4, n_ctx=None):
-        n_ctx = n_ctx or n
-        attn_proj = 2 * n * d * 3 * d + 2 * n * d * d
-        attn_mat = 2 * n * n_ctx * d * 2
-        mlp = 2 * n * d * mlp_ratio * d * 2
-        return attn_proj + attn_mat + mlp
-
-    enc_flops = 24 * block_flops(n_tok, 1024) * 2  # 2 views
-    # decoder: self-attn (768) + cross-attn vs other view's 1024 tokens + mlp
-    dec_self = 2 * n_tok * 768 * 3 * 768 + 2 * n_tok * n_tok * 768 * 2 + 2 * n_tok * 768 * 768
-    dec_cross = 2 * n_tok * 768 * 768 * 4 + 2 * n_tok * n_tok * 768 * 2
-    dec_mlp = 2 * n_tok * 768 * 4 * 768 * 2
+    # analytic flops per pair (fwd) for the MFU-derived baseline estimate
+    n_tok = (IMG // 16) ** 2
+    enc_flops = 24 * (2 * n_tok * 1024 * 3 * 1024 + 4 * n_tok * n_tok * 1024 + 2 * n_tok * 1024 * 1024 + 16 * n_tok * 1024 * 1024) * 2
+    dec_self = 2 * n_tok * 768 * 3 * 768 + 4 * n_tok * n_tok * 768 + 2 * n_tok * 768 * 768
+    dec_cross = 2 * n_tok * 768 * 768 * 4 + 4 * n_tok * n_tok * 768
+    dec_mlp = 16 * n_tok * 768 * 768
     dec_flops = 12 * (dec_self + dec_cross + dec_mlp) * 2
     head_flops = 2 * n_tok * 768 * 4 * 256 * 2
     flops_per_pair = enc_flops + dec_flops + head_flops
 
-    # Reference baseline estimate: A100 fp16 dense peak 312 TF/s at 40% MFU
-    baseline_pairs_per_sec = 312e12 * 0.40 / flops_per_pair
-
-    achieved_tflops = flops_per_pair * pairs_per_sec / 1e12
+    baseline_pairs_per_sec = 312e12 * 0.40 / flops_per_pair  # A100 fp16 @ 40% MFU
 
     result = {
         "metric": "dust3r_vitl_512_linear_pairs_per_sec",
@@ -94,12 +103,9 @@ def main():
         "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
     }
     print(json.dumps(result))
-    # extra diagnostics on stderr so the stdout JSON stays clean
-    import sys
-
     print(
-        f"batch={BATCH} iters={n_iters} wall={dt:.3f}s flops/pair={flops_per_pair/1e9:.1f}GF "
-        f"achieved={achieved_tflops:.1f}TF/s baseline_est={baseline_pairs_per_sec:.2f}pairs/s",
+        f"batch={BATCH} iters={ITERS} per_fwd={per_iter*1000:.1f}ms flops/pair={flops_per_pair/1e9:.1f}GF "
+        f"achieved={flops_per_pair*pairs_per_sec/1e12:.1f}TF/s baseline_est={baseline_pairs_per_sec:.2f}pairs/s",
         file=sys.stderr,
     )
 

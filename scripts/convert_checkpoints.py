@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""
+Convert reference (torch) checkpoints to the native .npz format.
+
+Usage:
+    python scripts/convert_checkpoints.py input.pth output.npz
+    python scripts/convert_checkpoints.py --dust3r dust3r.pth out_dir/
+
+Handles the reference checkpoint contract {"model": state_dict, **metadata}
+(reference: uniception/models/encoders/croco.py:99-111) and the vanilla
+DUSt3R -> UniCeption key remapping (reference:
+examples/models/dust3r/convert_dust3r_weights_to_uniception.py:21-67:
+dec_blocks -> multi_view_branches.0, dec_blocks2 -> multi_view_branches.1,
+decoder_embed -> proj_embed, downstream_head{1,2} -> head{1,2}).
+
+Requires torch (CPU) to read .pth files; the outputs load with numpy alone.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from uniception_tpu.utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: E402
+
+
+def remap_vanilla_dust3r(state):
+    "Vanilla DUSt3R/MASt3R state dict -> UniCeption-TPU DUSt3R keys."
+    out = {}
+    for k, v in state.items():
+        nk = k
+        if nk.startswith("patch_embed.") or nk.startswith("enc_blocks.") or nk == "enc_norm.weight" or nk == "enc_norm.bias":
+            nk = "encoder." + nk
+        elif nk.startswith("dec_blocks2."):
+            nk = nk.replace("dec_blocks2.", "info_sharing.multi_view_branches.1.")
+        elif nk.startswith("dec_blocks."):
+            nk = nk.replace("dec_blocks.", "info_sharing.multi_view_branches.0.")
+        elif nk.startswith("decoder_embed."):
+            nk = nk.replace("decoder_embed.", "info_sharing.proj_embed.")
+        elif nk.startswith("dec_norm."):
+            nk = nk.replace("dec_norm.", "info_sharing.norm.")
+        elif nk.startswith("downstream_head1.proj."):
+            nk = nk.replace("downstream_head1.proj.", "head1.linear.")
+        elif nk.startswith("downstream_head2.proj."):
+            nk = nk.replace("downstream_head2.proj.", "head2.linear.")
+        elif nk.startswith("downstream_head1."):
+            nk = nk.replace("downstream_head1.", "head1.")
+        elif nk.startswith("downstream_head2."):
+            nk = nk.replace("downstream_head2.", "head2.")
+        out[nk] = v
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("input", help="torch checkpoint (.pth)")
+    parser.add_argument("output", help="output .npz path")
+    parser.add_argument("--dust3r", action="store_true", help="apply vanilla-DUSt3R key remapping")
+    args = parser.parse_args()
+
+    ckpt = load_checkpoint(args.input)
+    model = ckpt.pop("model")
+    if args.dust3r:
+        model = remap_vanilla_dust3r(model)
+    meta = {k: v for k, v in ckpt.items() if isinstance(v, (str, int, float, bool))}
+    save_checkpoint(args.output, model, **meta)
+    print(f"Wrote {args.output} with {len(model)} tensors, metadata={meta}")
+
+
+if __name__ == "__main__":
+    main()

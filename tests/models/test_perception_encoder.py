@@ -1,0 +1,91 @@
+"""
+Perception Encoder ViT parity vs the reference's vendored torch
+implementation (small config, random weights copied across) — covers the
+interleaved-pair axial RoPE2D, packed in_proj attention, LayerScale,
+PE interpolation and attention pooling.
+"""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+import jax.numpy as jnp
+
+from tests.conftest import add_reference_to_path, has_reference
+from uniception_tpu.models.libs.perception_encoder.pe import VisionTransformer
+from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="torch reference not available")
+add_reference_to_path()
+
+SMALL = dict(
+    patch_size=14,
+    width=64,
+    layers=3,
+    heads=4,
+    mlp_ratio=2.0,
+    image_size=56,
+    use_cls_token=True,
+    use_rope2d=True,
+    use_abs_posemb=True,
+    ls_init_value=0.1,
+    output_dim=32,
+    pool_type="attn",
+)
+
+
+def make_models():
+    import torch
+    from uniception.models.libs.perception_encoder.vision_encoder.pe import VisionTransformer as TViT
+
+    torch.manual_seed(0)
+    t = TViT(**SMALL)
+    t.eval()
+    j = VisionTransformer(rngs=nnx.Rngs(0), **SMALL)
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    # the torch RotaryEmbedding registers a learned-freq buffer we recompute
+    sd = {k: v for k, v in sd.items() if "rope" not in k and "dummy" not in k and "freqs" not in k}
+    missing, unexpected = load_torch_state_dict(j, sd, strict=True)
+    assert not missing, missing
+    return t, j
+
+
+def test_pe_forward_features_parity():
+    import torch
+
+    t, j = make_models()
+    rng = np.random.RandomState(0)
+    for h, w in [(56, 56), (42, 70)]:
+        img = rng.randn(2, 3, h, w).astype(np.float32)
+        with torch.no_grad():
+            t_out = t.forward_features(torch.from_numpy(img), norm=True, strip_cls_token=True).numpy()
+        j_out = np.asarray(j.forward_features(jnp.asarray(img), norm=True, strip_cls_token=True))
+        err = np.abs(t_out - j_out).max()
+        assert err < 5e-5, f"({h},{w}): {err}"
+
+
+def test_pe_full_forward_with_pooling_parity():
+    import torch
+
+    t, j = make_models()
+    rng = np.random.RandomState(1)
+    img = rng.randn(2, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(img)).numpy()
+    j_out = np.asarray(j(jnp.asarray(img)))
+    err = np.abs(t_out - j_out).max()
+    assert err < 5e-5, f"{err}"
+
+
+def test_pe_intermediate_layers_parity():
+    import torch
+
+    t, j = make_models()
+    rng = np.random.RandomState(2)
+    img = rng.randn(1, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        t_outs = t.get_intermediate_layers(torch.from_numpy(img), n=[0, 2], norm=True, strip_cls_token=True)
+    j_outs = j.get_intermediate_layers(jnp.asarray(img), n=[0, 2], norm=True, strip_cls_token=True)
+    assert len(t_outs) == len(j_outs) == 2
+    for t_o, j_o in zip(t_outs, j_outs):
+        assert np.abs(t_o.numpy() - np.asarray(j_o)).max() < 5e-5

@@ -17,12 +17,26 @@ from uniception_tpu.models.encoders.base import (
     ViTEncoderNonImageInput,
     ViTEncoderOutput,
 )
+from uniception_tpu.models.encoders.cosmos import CosmosEncoder
 from uniception_tpu.models.encoders.croco import CroCoEncoder, CroCoIntermediateFeatureReturner
 from uniception_tpu.models.encoders.dense_rep_encoder import DenseRepresentationEncoder
+from uniception_tpu.models.encoders.dinov3 import (
+    DINOv3ConvNextEncoder,
+    DINOv3ConvNextIntermediateFeatureReturner,
+    DINOv3Encoder,
+    DINOv3IntermediateFeatureReturner,
+)
 from uniception_tpu.models.encoders.dinov2 import DINOv2Encoder, DINOv2IntermediateFeatureReturner
+from uniception_tpu.models.encoders.dune import DUNEEncoder, DUNEIntermediateFeatureReturner
 from uniception_tpu.models.encoders.global_rep_encoder import GlobalRepresentationEncoder
 from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT, ImageNormalization
 from uniception_tpu.models.encoders.patch_embedder import PatchEmbedder
+from uniception_tpu.models.encoders.perception_encoder import (
+    PerceptionEncoder,
+    PerceptionEncoderIntermediateFeatureReturner,
+)
+from uniception_tpu.models.encoders.pixio import PixioEncoder
+from uniception_tpu.models.encoders.radio import RADIOEncoder, RADIOIntermediateFeatureReturner
 
 ENCODER_CONFIGS = {
     "croco": {
@@ -39,9 +53,42 @@ ENCODER_CONFIGS = {
         "intermediate_feature_returner_class": DINOv2IntermediateFeatureReturner,
         "supported_models": ["DINOv2", "DINOv2-Registers", "DINOv2-Depth-Anythingv2"],
     },
+    "dinov3": {
+        "class": DINOv3Encoder,
+        "intermediate_feature_returner_class": DINOv3IntermediateFeatureReturner,
+        "supported_models": ["DINOv3-ViT"],
+    },
+    "dinov3_convnext": {
+        "class": DINOv3ConvNextEncoder,
+        "intermediate_feature_returner_class": DINOv3ConvNextIntermediateFeatureReturner,
+        "supported_models": ["DINOv3-ConvNext"],
+    },
+    "cosmos": {
+        "class": CosmosEncoder,
+        "supported_models": ["Cosmos-Tokenizer CI8x8", "Cosmos-Tokenizer CI16x16"],
+    },
+    "dune": {
+        "class": DUNEEncoder,
+        "intermediate_feature_returner_class": DUNEIntermediateFeatureReturner,
+        "supported_models": ["DUNE"],
+    },
     "global_rep_encoder": {
         "class": GlobalRepresentationEncoder,
         "supported_models": ["Global-Representation-Encoder"],
+    },
+    "perception_encoder": {
+        "class": PerceptionEncoder,
+        "intermediate_feature_returner_class": PerceptionEncoderIntermediateFeatureReturner,
+        "supported_models": ["Perception Encoder Core", "Perception Encoder Spatial"],
+    },
+    "pixio": {
+        "class": PixioEncoder,
+        "supported_models": ["Pixio-Encoder"],
+    },
+    "radio": {
+        "class": RADIOEncoder,
+        "intermediate_feature_returner_class": RADIOIntermediateFeatureReturner,
+        "supported_models": ["RADIO", "E-RADIO (not yet implemented)"],
     },
     "patch_embedder": {
         "class": PatchEmbedder,

@@ -86,13 +86,18 @@ class DifferentialMultiViewCrossAttentionTransformer(MultiViewCrossAttentionTran
         else:
             self.proj_embed = Identity()
 
+        # the reference halves the head count for the differential blocks
+        # (diff_cross_attention_transformer.py:107-113: each diff head uses
+        # two sub-heads, so dim/head stays constant)
+        assert num_heads % 2 == 0, "Number of heads must be divisible by 2 for differential cross-attention."
+
         def make_branch():
             return nnx.List(
                 [
                     DiffCrossAttentionBlock(
                         dim=dim,
                         depth=i,
-                        num_heads=num_heads,
+                        num_heads=num_heads // 2,
                         mlp_ratio=mlp_ratio,
                         qkv_bias=qkv_bias,
                         qk_norm=qk_norm,

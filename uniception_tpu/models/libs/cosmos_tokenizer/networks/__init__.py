@@ -7,14 +7,19 @@ The causal-video tokenizers (CV, DV) are not yet ported to the TPU build
 
 from enum import Enum
 
-from uniception_tpu.models.libs.cosmos_tokenizer.networks.configs import continuous_image, discrete_image
+# alias the config dicts: the submodules continuous_image/discrete_image
+# would otherwise shadow the same-named config attributes on this package
+from uniception_tpu.models.libs.cosmos_tokenizer.networks.configs import (
+    continuous_image as continuous_image_dict,
+    discrete_image as discrete_image_dict,
+)
 from uniception_tpu.models.libs.cosmos_tokenizer.networks.continuous_image import ContinuousImageTokenizer
 from uniception_tpu.models.libs.cosmos_tokenizer.networks.discrete_image import DiscreteImageTokenizer
 
 
 class TokenizerConfigs(Enum):
-    CI = continuous_image
-    DI = discrete_image
+    CI = continuous_image_dict
+    DI = discrete_image_dict
 
 
 class TokenizerModels(Enum):

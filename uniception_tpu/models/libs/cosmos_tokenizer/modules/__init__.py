@@ -18,12 +18,26 @@ from uniception_tpu.models.libs.cosmos_tokenizer.modules.quantizers import (
 )
 
 
+from uniception_tpu.models.libs.cosmos_tokenizer.modules.layers3d import (
+    DecoderFactorized,
+    EncoderFactorized,
+)
+
+
 class EncoderType(Enum):
     Default = Encoder
 
 
 class DecoderType(Enum):
     Default = Decoder
+
+
+class Encoder3DType(Enum):
+    FACTORIZED = EncoderFactorized
+
+
+class Decoder3DType(Enum):
+    FACTORIZED = DecoderFactorized
 
 
 class ContinuousFormulation(Enum):

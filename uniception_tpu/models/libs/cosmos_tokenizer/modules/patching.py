@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from uniception_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
-__all__ = ["Patcher", "UnPatcher"]
+__all__ = ["Patcher", "UnPatcher", "Patcher3D", "UnPatcher3D"]
 
 _R = 0.7071067811865476
 
@@ -80,6 +80,77 @@ class Patcher:
         raise ValueError("Unknown patch method: " + self.patch_method)
 
 
+_R3 = 1.0 / (2.0 * 2.0**0.5)  # 3D per-level rescale (patching.py:155)
+
+
+def _dwt3(x, rescale=True):
+    "(B, C, T, H, W) -> (B, 8C, T/2, H/2, W/2): [lll..hhh], letters = (t, h, w)."
+    B, C, T, H, W = x.shape
+    x = x.reshape(B, C, T // 2, 2, H // 2, 2, W // 2, 2)
+    r = _R
+    t0, t1 = x[:, :, :, 0], x[:, :, :, 1]
+    tl, th = (t0 + t1) * r, (t0 - t1) * r  # (B, C, T/2, H/2, 2, W/2, 2)
+    outs = []
+    for tpart in (tl, th):
+        h0, h1 = tpart[:, :, :, :, 0], tpart[:, :, :, :, 1]
+        hl, hh = (h0 + h1) * r, (h0 - h1) * r  # (B, C, T/2, H/2, W/2, 2)
+        for hpart in (hl, hh):
+            w0, w1 = hpart[..., 0], hpart[..., 1]
+            outs.append((w0 + w1) * r)
+            outs.append((w0 - w1) * r)
+    out = jnp.concatenate(outs, axis=1)
+    if rescale:
+        out = out / (2 * 2**0.5)
+    return out
+
+
+def _idwt3(x, rescale=True):
+    "(B, 8C, T, H, W) -> (B, C, 2T, 2H, 2W): inverse of _dwt3."
+    B, C8, T, H, W = x.shape
+    C = C8 // 8
+    parts = jnp.split(x, 8, axis=1)  # lll, llh, lhl, lhh, hll, hlh, hhl, hhh
+    r = _R
+
+    def inv_pair(a, b):
+        "inverse butterfly along a new trailing axis of size 2"
+        return jnp.stack([(a + b) * r, (a - b) * r], axis=-1)
+
+    # W axis
+    ll = inv_pair(parts[0], parts[1])  # (..., W, 2)
+    lh = inv_pair(parts[2], parts[3])
+    hl = inv_pair(parts[4], parts[5])
+    hh = inv_pair(parts[6], parts[7])
+    # H axis (insert before the W pair)
+    l = jnp.stack([(ll + lh) * r, (ll - lh) * r], axis=4)  # (B,C,T,H,2,W,2)
+    h = jnp.stack([(hl + hh) * r, (hl - hh) * r], axis=4)
+    # T axis
+    out = jnp.stack([(l + h) * r, (l - h) * r], axis=3)  # (B,C,T,2,H,2,W,2)
+    out = out.reshape(B, C, 2 * T, 2 * H, 2 * W)
+    if rescale:
+        out = out * (2 * 2**0.5)
+    return out
+
+
+class Patcher3D(Patcher):
+    "3D (un)patching for video: causal first-frame replication + 3D haar (patching.py:110-175)."
+
+    def __call__(self, x):
+        p = self.patch_size
+        # replicate the first frame p times (causal init, patching.py:158-160)
+        xi, xv = x[:, :, :1], x[:, :, 1:]
+        x = jnp.concatenate([jnp.repeat(xi, p, axis=2), xv], axis=2)
+        if self.patch_method == "haar":
+            for _ in range(self.levels):
+                x = _dwt3(x, rescale=True)
+            return x
+        if self.patch_method == "rearrange":
+            B, C, T, H, W = x.shape
+            x = x.reshape(B, C, T // p, p, H // p, p, W // p, p)
+            x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6))
+            return x.reshape(B, C * p**3, T // p, H // p, W // p)
+        raise ValueError("Unknown patch method: " + self.patch_method)
+
+
 class UnPatcher:
     "Patches -> image (inverse haar or pixel-shuffle)."
 
@@ -100,4 +171,23 @@ class UnPatcher:
             x = x.reshape(B, C, p, p, H, W)
             x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
             return x.reshape(B, C, H * p, W * p)
+        raise ValueError("Unknown patch method: " + self.patch_method)
+
+
+class UnPatcher3D(UnPatcher):
+    "Inverse 3D (un)patching (patching.py:249-311)."
+
+    def __call__(self, x):
+        p = self.patch_size
+        if self.patch_method == "haar":
+            for _ in range(self.levels):
+                x = _idwt3(x, rescale=True)
+            return x[:, :, p - 1 :]
+        if self.patch_method == "rearrange":
+            B, Cp, T, H, W = x.shape
+            C = Cp // p**3
+            x = x.reshape(B, C, p, p, p, T, H, W)
+            x = jnp.transpose(x, (0, 1, 5, 2, 6, 3, 7, 4))
+            x = x.reshape(B, C, T * p, H * p, W * p)
+            return x[:, :, p - 1 :]
         raise ValueError("Unknown patch method: " + self.patch_method)

@@ -65,23 +65,31 @@ class FSQuantizer(nnx.Module):
         return jnp.moveaxis(codes.astype(jnp.float32), -1, 1)
 
     def __call__(self, z):
-        "z: (B, C, H, W) -> (indices (B, H, W), codes (B, C, H, W), dummy loss)."
+        """z: (B, C, *spatial) channel-first (image H,W or video T,H,W).
+
+        Returns (indices (B, *spatial), codes (B, C, *spatial), dummy loss).
+        """
         is_img = z.ndim >= 4
         if is_img:
-            B, C, H, W = z.shape
-            zf = jnp.transpose(z, (0, 2, 3, 1)).reshape(B, H * W, C)
+            B, C = z.shape[:2]
+            spatial = z.shape[2:]
+            n = 1
+            for s in spatial:
+                n *= s
+            zf = jnp.moveaxis(z, 1, -1).reshape(B, n, C)
         else:
             zf = z
+            B = z.shape[0]
         zf = zf.reshape(zf.shape[0], zf.shape[1], self.num_codebooks, self.codebook_dim)
         codes = self.quantize(zf.astype(jnp.float32))
         indices = self.codes_to_indices(codes)
         out = codes.reshape(codes.shape[0], codes.shape[1], -1)
         if is_img:
-            out = jnp.transpose(out.reshape(B, H, W, -1), (0, 3, 1, 2))
-            indices = indices.reshape(B, H, W, self.num_codebooks)
+            out = jnp.moveaxis(out.reshape((B,) + spatial + (-1,)), -1, 1)
+            indices = indices.reshape((B,) + spatial + (self.num_codebooks,))
         if self.num_codebooks == 1:
             indices = indices[..., 0]
-        dummy_loss = jnp.zeros((z.shape[0], 1, 1, 1) if is_img else (z.shape[0], 1, 1, 1), out.dtype)
+        dummy_loss = jnp.zeros((B, 1, 1, 1), out.dtype)
         return indices, out.astype(z.dtype), dummy_loss
 
 

@@ -50,6 +50,8 @@ def _to_jax(owner: nnx.Module, attr: str, torch_arr: np.ndarray, target_shape) -
     if isinstance(owner, nnx.Linear) and attr == "kernel":
         return np.ascontiguousarray(torch_arr.T)
     if isinstance(owner, nnx.Conv) and attr == "kernel":
+        if torch_arr.ndim == 5:  # Conv3d: (out, in, kt, kh, kw) -> (kt, kh, kw, in, out)
+            return np.ascontiguousarray(np.transpose(torch_arr, (2, 3, 4, 1, 0)))
         return np.ascontiguousarray(np.transpose(torch_arr, (2, 3, 1, 0)))
     if isinstance(owner, nnx.ConvTranspose) and attr == "kernel":
         # torch: (in, out, kh, kw) -> flax: (kh, kw, in, out), spatially
@@ -63,6 +65,8 @@ def _from_jax(owner: nnx.Module, attr: str, jax_arr: np.ndarray) -> np.ndarray:
     if isinstance(owner, nnx.Linear) and attr == "kernel":
         return np.ascontiguousarray(jax_arr.T)
     if isinstance(owner, nnx.Conv) and attr == "kernel":
+        if jax_arr.ndim == 5:
+            return np.ascontiguousarray(np.transpose(jax_arr, (4, 3, 0, 1, 2)))
         return np.ascontiguousarray(np.transpose(jax_arr, (3, 2, 0, 1)))
     if isinstance(owner, nnx.ConvTranspose) and attr == "kernel":
         return np.ascontiguousarray(np.transpose(jax_arr, (2, 3, 0, 1))[:, :, ::-1, ::-1])

@@ -1,0 +1,119 @@
+"""
+Sharded training utilities.
+
+The reference ships no trainer (SURVEY.md §0/§2.8); this module is the
+TPU-native training layer the rebuild adds: a pjit-compatible train-step
+factory over the ("data", "model") mesh with dp batch sharding, optional tp
+parameter sharding, bf16 compute with fp32 params/optimizer state, and the
+DUSt3R confidence-weighted regression loss.
+
+Checkpoint save/restore uses Orbax over the nnx state pytree.
+"""
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+from uniception_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch, tp_shard_state
+
+__all__ = ["dust3r_confidence_loss", "make_train_step", "TrainContext", "save_train_state", "restore_train_state"]
+
+
+def dust3r_confidence_loss(res1, res2, target1, target2, alpha: float = 0.2, valid1=None, valid2=None):
+    """DUSt3R-style confidence-weighted pointmap regression loss.
+
+    L = mean(conf * ||pts - gt|| - alpha * log conf), per view, masked by
+    validity when provided. targets are (B, H, W, 3) pointmaps.
+    """
+
+    def view_loss(res, key, target, valid):
+        conf = res["conf"][..., 0]
+        err = jnp.linalg.norm(res[key] - target, axis=-1)
+        per_px = conf * err - alpha * jnp.log(conf)
+        if valid is not None:
+            per_px = jnp.where(valid, per_px, 0.0)
+            return jnp.sum(per_px) / jnp.maximum(jnp.sum(valid), 1)
+        return jnp.mean(per_px)
+
+    return view_loss(res1, "pts3d", target1, valid1) + view_loss(res2, "pts3d_in_other_view", target2, valid2)
+
+
+class TrainContext:
+    "Holds the mesh, split model, optimizer and jitted step."
+
+    def __init__(self, graphdef, rest_state, mesh, tx, step_fn):
+        self.graphdef = graphdef
+        self.rest_state = rest_state
+        self.mesh = mesh
+        self.tx = tx
+        self.step = step_fn
+
+
+def make_train_step(
+    model: nnx.Module,
+    loss_fn: Optional[Callable] = None,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.05,
+    data: int = -1,
+    model_axis: int = 1,
+    use_tp: bool = False,
+    grad_accum: int = 1,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> Tuple[TrainContext, Any, Any]:
+    """Build a dp(+tp) sharded train step for a DUSt3R-style model.
+
+    Returns (context, params_state, opt_state). The step signature is
+    ``step(params, opt_state, img1, img2, target1, target2) ->
+    (loss, params, opt_state)``; inputs should be sharded with
+    ``shard_batch(..., ctx.mesh)``.
+    """
+    mesh = make_mesh(data=data, model=model_axis)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+
+    with mesh:
+        params = tp_shard_state(params, mesh) if (use_tp and model_axis > 1) else replicate_state(params, mesh)
+        if tx is None:
+            tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        if grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+        opt_state = tx.init(params)
+
+    if loss_fn is None:
+        def loss_fn(m, img1, img2, target1, target2):
+            res1, res2 = m.forward_pair(img1, img2)
+            return dust3r_confidence_loss(res1, res2, target1, target2)
+
+    def compute_loss(params, img1, img2, target1, target2):
+        m = nnx.merge(graphdef, params, rest)
+        return loss_fn(m, img1, img2, target1, target2)
+
+    @jax.jit
+    def step(params, opt_state, img1, img2, target1, target2):
+        loss, grads = jax.value_and_grad(compute_loss)(params, img1, img2, target1, target2)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return loss, params, opt_state
+
+    return TrainContext(graphdef, rest, mesh, tx, step), params, opt_state
+
+
+def save_train_state(path: str, params, opt_state=None, step: int = 0):
+    "Save params (+optimizer state) with Orbax."
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": nnx.to_pure_dict(params) if hasattr(nnx, "to_pure_dict") else params}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, params_template):
+    "Restore params saved by save_train_state into the template's structure."
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    return restored["params"]

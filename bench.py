@@ -29,9 +29,10 @@ def main():
     from flax import nnx
 
     from uniception_tpu.models.factory.dust3r import DUSt3R
-    from uniception_tpu.models.utils.config import set_attention_impl
+    from uniception_tpu.models.utils.config import set_attention_impl, set_gelu_mode
 
     set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
+    set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))  # production activation
     IMG = int(os.environ.get("BENCH_IMG", "512"))
     BATCH = int(os.environ.get("BENCH_BATCH", "8"))
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))

@@ -15,7 +15,14 @@ Controlled by env var ``UNICEPTION_TPU_ATTN`` or :func:`set_attention_impl`.
 import os
 import warnings
 
-__all__ = ["get_attention_impl", "set_attention_impl", "use_fused_attn", "set_fused_attn"]
+__all__ = [
+    "get_attention_impl",
+    "set_attention_impl",
+    "use_fused_attn",
+    "set_fused_attn",
+    "get_gelu_mode",
+    "set_gelu_mode",
+]
 
 _VALID_IMPLS = ("xla", "pallas", "naive")
 
@@ -36,6 +43,29 @@ def set_attention_impl(impl: str):
     if impl not in _VALID_IMPLS:
         raise ValueError(f"Invalid attention impl {impl!r}; must be one of {_VALID_IMPLS}")
     _ATTN_IMPL = impl
+
+
+# GELU mode: "exact" (erf — bit-parity with torch nn.GELU, the default) or
+# "tanh" (the standard TPU production approximation — ~7x cheaper on the VPU,
+# ~1e-3 relative activation difference, well inside the reference's 1e-2
+# golden gates). Env var UNICEPTION_TPU_GELU or set_gelu_mode().
+_GELU_MODE = os.environ.get("UNICEPTION_TPU_GELU", "exact")
+if _GELU_MODE not in ("exact", "tanh"):
+    warnings.warn(f"Invalid UNICEPTION_TPU_GELU={_GELU_MODE!r}; falling back to 'exact'")
+    _GELU_MODE = "exact"
+
+
+def get_gelu_mode() -> str:
+    "Return the current GELU mode ('exact' or 'tanh')."
+    return _GELU_MODE
+
+
+def set_gelu_mode(mode: str):
+    "Select the GELU implementation ('exact' for parity, 'tanh' for speed)."
+    global _GELU_MODE
+    if mode not in ("exact", "tanh"):
+        raise ValueError(f"Invalid gelu mode {mode!r}")
+    _GELU_MODE = mode
 
 
 # --- reference-API compatibility shims (uniception/models/utils/config.py:20-34) ---

@@ -15,7 +15,7 @@ import numpy as np
 
 from uniception_tpu.ops.resize import interpolate
 
-__all__ = ["interpolate_patch_pos_embed", "sinusoid_encoding_table"]
+__all__ = ["interpolate_patch_pos_embed", "sinusoid_encoding_table", "get_2d_sincos_pos_embed"]
 
 
 def interpolate_patch_pos_embed(
@@ -57,3 +57,24 @@ def sinusoid_encoding_table(n_position: int, d_hid: int, base: float) -> np.ndar
     table[:, 0::2] = np.sin(angle[:, 0::2])
     table[:, 1::2] = np.cos(angle[:, 1::2])
     return table.astype(np.float32)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, n_cls_token: int = 0) -> np.ndarray:
+    """2D sine-cosine positional embedding table (reference
+    libs/croco/pos_embed.py:19-66): (n_cls_token + grid_size^2, embed_dim),
+    halves encode grid_h then grid_w with base-10000 frequencies."""
+
+    def one_axis(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    assert embed_dim % 2 == 0
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0).reshape(2, -1)
+    emb = np.concatenate([one_axis(embed_dim // 2, grid[0]), one_axis(embed_dim // 2, grid[1])], axis=1)
+    if n_cls_token > 0:
+        emb = np.concatenate([np.zeros((n_cls_token, embed_dim)), emb], axis=0)
+    return emb.astype(np.float32)

@@ -1,23 +1,25 @@
 """
-Flash attention as a Pallas TPU kernel.
+Flash attention as Pallas TPU kernels (forward + backward).
 
 TPU-native replacement for the reference's use of
 ``F.scaled_dot_product_attention`` (uniception/models/utils/
 transformer_blocks.py:243-246 and libs/croco/blocks.py:122-126).
 
-FlashAttention-2 style single-pass softmax with running (max, sum) statistics
-(Dao 2023, arXiv:2307.08691): the score matrix is never materialized in HBM;
-each (query-block x key-block) tile lives in VMEM, accumulation is fp32, and
-the MXU does both the QK^T and PV matmuls.
+FlashAttention-2 style single-pass softmax with running (max, sum)
+statistics (Dao 2023, arXiv:2307.08691): the score matrix is never
+materialized in HBM; each (query-block x key-block) tile lives in VMEM,
+accumulation is fp32, and the MXU does both the QK^T and PV matmuls.
 
-Public layout: (B, N, H, D); internally the kernel runs on (B, H, N, D) so
+Public layout: (B, N, H, D); internally the kernels run on (B, H, N, D) so
 the blocked axes are the trailing (tokens, head-dim) pair, matching the TPU
 tiling constraint (last two block dims aligned to (8, 128) or full).
 Arbitrary sequence lengths are handled by padding to the block size and
 masking padded keys with -inf before the softmax.
 
-Backward currently recomputes attention through the XLA path (see
-``_fa_bwd``); a Pallas backward kernel is a later optimization.
+Backward: Pallas dq and dk/dv kernels using the saved logsumexp (the
+standard FA recurrence: p = exp(s - L); dv = p^T dO; ds = p * (dO V^T - D);
+dq = ds K; dk = ds^T Q). Off-TPU (or with UNICEPTION_TPU_ATTN != pallas)
+gradients fall back to an XLA recompute.
 """
 
 import functools
@@ -32,11 +34,12 @@ __all__ = ["flash_attention"]
 NEG_INF = -1e30
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k, precision):
-    """One (q-block, k-block) step.
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k, precision):
+    """Forward step for one (q-block, k-block).
 
-    q_ref: (1, 1, BQ, D); k_ref/v_ref: (1, 1, BK, D); o_ref: (1, 1, BQ, D).
-    Scratch: m/l (BQ, 1) fp32, acc (BQ, D) fp32 — carried across the k axis.
+    q_ref: (1, 1, BQ, D); k_ref/v_ref: (1, 1, BK, D); o_ref: (1, 1, BQ, D);
+    lse_ref: (1, 1, BQ, 128) logsumexp broadcast over lanes.
+    Scratch: m/l (BQ, 128) fp32, acc (BQ, D) fp32 — carried across k steps.
     """
     k_idx = pl.program_id(3)
     num_k = pl.num_programs(3)
@@ -56,29 +59,31 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_l
     )  # (BQ, BK)
     s = s * scale
 
-    # mask out padded keys
     if kv_len % block_k != 0:
         start = k_idx * block_k
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1) + start
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_scr[:]  # (BQ, 1)
+    m_prev = m_scr[:, :1]  # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_new)  # (BQ, BK) fp32
     corr = jnp.exp(m_prev - m_new)  # (BQ, 1)
 
-    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
     )  # (BQ, D)
     acc_scr[:] = acc_scr[:] * corr + pv
-    m_scr[:] = m_new
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(k_idx == num_k - 1)
     def _finalize():
-        out = acc_scr[:] / l_scr[:]
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        l_final = l_scr[:, :1]
+        o_ref[0, 0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+        lse_block = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[2:])
+        lse_ref[0, 0] = lse_block.astype(lse_ref.dtype)
 
 
 def _round_up(x, m):
@@ -97,37 +102,35 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
     Returns:
         (B, Nq, H, D) attention output in q's dtype.
     """
-    return _flash_attention_impl(q, k, v, scale, block_q, block_k)
+    out, _ = _flash_attention_impl(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _plan(q, k, scale, block_q, block_k):
+    B, Nq, H, D = q.shape
+    Nk = k.shape[1]
+    scale = D**-0.5 if scale is None else scale
+    bq = min(block_q, _round_up(Nq, 8))
+    bk = min(block_k, _round_up(Nk, 8))
+    return B, Nq, Nk, H, D, scale, bq, bk, _round_up(Nq, bq), _round_up(Nk, bk)
+
+
+def _to_bhnd(x, n_pad):
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    if n_pad != x.shape[1]:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - x.shape[1]), (0, 0)))
+    return xt
 
 
 def _flash_attention_impl(q, k, v, scale, block_q, block_k):
-    B, Nq, H, D = q.shape
-    Nk = k.shape[1]
-    if scale is None:
-        scale = D**-0.5
+    "Returns (out (B,Nq,H,D), lse (B,H,Nq_pad) fp32)."
+    B, Nq, Nk, H, D, scale, bq, bk, nq_pad, nk_pad = _plan(q, k, scale, block_q, block_k)
 
-    bq = min(block_q, _round_up(Nq, 8))
-    bk = min(block_k, _round_up(Nk, 8))
-    nq_pad = _round_up(Nq, bq)
-    nk_pad = _round_up(Nk, bk)
-
-    # (B, N, H, D) -> (B, H, N, D): the token axis must be a blocked trailing axis.
-    qt = jnp.transpose(q, (0, 2, 1, 3))
-    kt = jnp.transpose(k, (0, 2, 1, 3))
-    vt = jnp.transpose(v, (0, 2, 1, 3))
-    if nq_pad != Nq:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad - Nq), (0, 0)))
-    if nk_pad != Nk:
-        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, nk_pad - Nk), (0, 0)))
-        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, nk_pad - Nk), (0, 0)))
-
+    qt, kt, vt = _to_bhnd(q, nq_pad), _to_bhnd(k, nk_pad), _to_bhnd(v, nk_pad)
     grid = (B, H, nq_pad // bq, nk_pad // bk)
-
-    # fp32 inputs get full-precision MXU passes (parity-grade); bf16 runs at
-    # native MXU precision.
     precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision),
         grid=grid,
         in_specs=[
@@ -135,11 +138,17 @@ def _flash_attention_impl(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, 1, bk, D), lambda b, h, nq, nk: (b, h, nk, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, nq, nk: (b, h, nk, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, nq_pad, D), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, nq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, nq_pad, 128), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -152,17 +161,150 @@ def _flash_attention_impl(q, k, v, scale, block_q, block_k):
         ),
     )(qt, kt, vt)
 
-    return jnp.transpose(out[:, :, :Nq], (0, 2, 1, 3))
+    return jnp.transpose(out[:, :, :Nq], (0, 2, 1, 3)), lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, kv_len, block_k, precision):
+    "dq = sum_k ds K with ds = p * (dO V^T - delta) * scale."
+    k_idx = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision) * scale
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision)
+    ds = p * (dp - delta) * scale  # (BQ, BK) fp32
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    )
+
+    @pl.when(k_idx == num_k - 1)
+    def _fin():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len, block_k, precision):
+    "dk/dv: grid (B, H, nk, nq) with q innermost; accumulate over q blocks."
+    q_idx = pl.program_id(3)
+    num_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision) * scale
+    k_block = pl.program_id(2)
+    if kv_len % k.shape[0] != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_block * k.shape[0]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    )  # (BK, D)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision)
+    ds = p * (dp - delta) * scale  # (BQ, BK)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    )  # (BK, D)
+
+    @pl.when(q_idx == num_q - 1)
+    def _fin():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
+    B, Nq, Nk, H, D, scale, bq, bk, nq_pad, nk_pad = _plan(q, k, scale, block_q, block_k)
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    qt, kt, vt = _to_bhnd(q, nq_pad), _to_bhnd(k, nk_pad), _to_bhnd(v, nk_pad)
+    dot = _to_bhnd(g, nq_pad)
+    outt = _to_bhnd(out, nq_pad)
+
+    # delta = rowsum(dO * O): (B, H, Nq_pad), broadcast over 128 lanes for tiling
+    delta = jnp.sum(dot.astype(jnp.float32) * outt.astype(jnp.float32), axis=-1)
+    delta_b = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
+    lse_pad = lse if lse.shape[-1] == nq_pad else jnp.pad(lse, ((0, 0), (0, 0), (0, nq_pad - lse.shape[-1])))
+    lse_b = jnp.broadcast_to(lse_pad[..., None], lse_pad.shape + (128,))
+
+    q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision),
+        grid=(B, H, nq_pad // bq, nk_pad // bk),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, stat_spec, stat_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, nq_pad, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(qt, kt, vt, dot, lse_b, delta_b)
+
+    # dk/dv: swap loop order — block over k, iterate q
+    q_spec2 = pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM)
+    k_spec2 = pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM)
+    stat_spec2 = pl.BlockSpec((1, 1, bq, 128), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_dkv_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision),
+        grid=(B, H, nk_pad // bk, nq_pad // bq),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, stat_spec2, stat_spec2],
+        out_specs=(k_spec2, k_spec2),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, nk_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, nk_pad, D), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32), pltpu.VMEM((bk, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+    )(qt, kt, vt, dot, lse_b, delta_b)
+
+    dq = jnp.transpose(dq[:, :, :Nq], (0, 2, 1, 3))
+    dk = jnp.transpose(dk[:, :, :Nk], (0, 2, 1, 3))
+    dv = jnp.transpose(dv[:, :, :Nk], (0, 2, 1, 3))
+    return dq, dk, dv
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):
-    return _flash_attention_impl(q, k, v, scale, block_q, block_k), (q, k, v)
+    out, lse = _flash_attention_impl(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(scale, block_q, block_k, res, g):
-    # Backward through the XLA attention recompute; gradients match the
-    # Pallas forward to numerical precision (same math, fp32 softmax).
-    q, k, v = res
+    q, k, v, out, lse = res
+    try:
+        if jax.devices()[0].platform == "tpu":
+            return _flash_attention_bwd_pallas(q, k, v, out, lse, g, scale, block_q, block_k)
+    except Exception:
+        pass
+    # fallback: recompute through XLA
     _, vjp = jax.vjp(lambda q_, k_, v_: jax.nn.dot_product_attention(q_, k_, v_, scale=scale), q, k, v)
     return vjp(g)
 

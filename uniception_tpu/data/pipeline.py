@@ -1,0 +1,79 @@
+"""
+Host -> device input pipeline.
+
+The reference has no data loader (single-GPU, examples feed tensors
+directly); production TPU training needs host-side prefetch so the chips
+never wait on input. This module provides:
+
+    * prefetch_to_device — double-buffered async transfer of an iterator's
+      batches onto the mesh (sharded along "data"), overlapping host work
+      and transfers with device compute.
+    * normalize_batch — image normalization by encoder type, applied
+      host-side in numpy (keeps the jit trace clean of constants).
+
+No native extension is needed here: image decode already happens in C
+(PIL/libjpeg), and `jax.device_put` with a NamedSharding issues the DMA
+asynchronously — the double buffer keeps it off the critical path.
+"""
+
+import collections
+import itertools
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uniception_tpu.models.encoders.image_normalizations import normalize_image
+
+__all__ = ["prefetch_to_device", "normalize_batch", "epoch_batches"]
+
+
+def prefetch_to_device(
+    iterator: Iterable[Any],
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    buffer_size: int = 2,
+) -> Iterator[Any]:
+    """Asynchronously stage batches on device, `buffer_size` ahead.
+
+    Each batch (a pytree of numpy/jax arrays) is device_put with its leading
+    axis sharded over `axis` when a mesh is given, else onto the default
+    device. Transfers overlap with the consumer's compute because
+    device_put is async and we stay `buffer_size` batches ahead.
+    """
+    sharding = NamedSharding(mesh, P(axis)) if mesh is not None else None
+
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    queue = collections.deque()
+    it = iter(iterator)
+    for batch in itertools.islice(it, buffer_size):
+        queue.append(put(batch))
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+
+
+def normalize_batch(images_uint8: np.ndarray, data_norm_type: str) -> np.ndarray:
+    "uint8 (B, H, W, 3) -> normalized float32 (B, 3, H, W) for the encoder type."
+    x = images_uint8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    return normalize_image(x, data_norm_type).astype(np.float32)
+
+
+def epoch_batches(arrays, batch_size: int, *, rng: Optional[np.random.RandomState] = None, drop_last: bool = True):
+    "Yield shuffled batch pytrees from a pytree of equal-length arrays."
+    n = len(jax.tree.leaves(arrays)[0])
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    end = n - (n % batch_size) if drop_last else n
+    for i in range(0, end, batch_size):
+        idx = order[i : i + batch_size]
+        yield jax.tree.map(lambda a: a[idx], arrays)

@@ -34,13 +34,18 @@ __all__ = ["flash_attention"]
 NEG_INF = -1e30
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k, precision):
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k, precision, with_lse):
     """Forward step for one (q-block, k-block).
 
     q_ref: (1, 1, BQ, D); k_ref/v_ref: (1, 1, BK, D); o_ref: (1, 1, BQ, D);
-    lse_ref: (1, 1, BQ, 128) logsumexp broadcast over lanes.
+    lse_ref (training only): (1, 1, BQ, 128) logsumexp broadcast over lanes.
     Scratch: m/l (BQ, 128) fp32, acc (BQ, D) fp32 — carried across k steps.
     """
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        lse_ref = None
+        m_scr, l_scr, acc_scr = rest
     k_idx = pl.program_id(3)
     num_k = pl.num_programs(3)
 
@@ -82,8 +87,9 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, sc
     def _finalize():
         l_final = l_scr[:, :1]
         o_ref[0, 0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
-        lse_block = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[2:])
-        lse_ref[0, 0] = lse_block.astype(lse_ref.dtype)
+        if with_lse:
+            lse_block = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[2:])
+            lse_ref[0, 0] = lse_block.astype(lse_ref.dtype)
 
 
 def _round_up(x, m):
@@ -102,7 +108,7 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
     Returns:
         (B, Nq, H, D) attention output in q's dtype.
     """
-    out, _ = _flash_attention_impl(q, k, v, scale, block_q, block_k)
+    out, _ = _flash_attention_impl(q, k, v, scale, block_q, block_k, with_lse=False)
     return out
 
 
@@ -122,30 +128,34 @@ def _to_bhnd(x, n_pad):
     return xt
 
 
-def _flash_attention_impl(q, k, v, scale, block_q, block_k):
-    "Returns (out (B,Nq,H,D), lse (B,H,Nq_pad) fp32)."
+def _flash_attention_impl(q, k, v, scale, block_q, block_k, with_lse=True):
+    """Returns (out (B,Nq,H,D), lse (B,H,Nq_pad) fp32 or None).
+
+    with_lse=False skips the logsumexp output entirely (inference path —
+    saves a (B,H,Nq,128) fp32 write per call).
+    """
     B, Nq, Nk, H, D, scale, bq, bk, nq_pad, nk_pad = _plan(q, k, scale, block_q, block_k)
 
     qt, kt, vt = _to_bhnd(q, nq_pad), _to_bhnd(k, nk_pad), _to_bhnd(v, nk_pad)
     grid = (B, H, nq_pad // bq, nk_pad // bk)
     precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
-    out, lse = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision),
+    out_specs = [pl.BlockSpec((1, 1, bq, D), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, nq_pad, D), q.dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, 1, bq, 128), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, nq_pad, 128), jnp.float32))
+
+    results = pl.pallas_call(
+        functools.partial(_fa_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision, with_lse=with_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, nq, nk: (b, h, nk, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, nq, nk: (b, h, nk, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, nq, nk: (b, h, nq, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, nq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, nq_pad, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -161,7 +171,10 @@ def _flash_attention_impl(q, k, v, scale, block_q, block_k):
         ),
     )(qt, kt, vt)
 
-    return jnp.transpose(out[:, :, :Nq], (0, 2, 1, 3)), lse[..., 0]
+    if with_lse:
+        out, lse = results
+        return jnp.transpose(out[:, :, :Nq], (0, 2, 1, 3)), lse[..., 0]
+    return jnp.transpose(results[:, :, :Nq], (0, 2, 1, 3)), None
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +306,7 @@ def _flash_attention_bwd_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):
-    out, lse = _flash_attention_impl(q, k, v, scale, block_q, block_k)
+    out, lse = _flash_attention_impl(q, k, v, scale, block_q, block_k, with_lse=True)
     return out, (q, k, v, out, lse)
 
 

@@ -52,6 +52,48 @@ def test_patcher3d_parity(method):
     assert np.abs(t_u - j_u).max() < 1e-5
 
 
+def test_causal_encoder_decoder_base_parity():
+    import torch
+    from uniception.models.libs.cosmos_tokenizer.modules.layers3d import DecoderBase as TDec
+    from uniception.models.libs.cosmos_tokenizer.modules.layers3d import EncoderBase as TEnc
+
+    from uniception_tpu.models.libs.cosmos_tokenizer.modules.layers3d import DecoderBase, EncoderBase
+
+    cfg = dict(SMALL_CFG, num_groups=4)
+    cfg.pop("spatial_compression"), cfg.pop("temporal_compression")
+
+    torch.manual_seed(0)
+    t_enc = TEnc(z_channels=4, **cfg)
+    t_enc.eval()
+    j_enc = EncoderBase(z_channels=4, rngs=nnx.Rngs(0), **cfg)
+    missing, _ = load_torch_state_dict(j_enc, {k: v.detach().numpy() for k, v in t_enc.state_dict().items()}, strict=True)
+    assert not missing
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 3, 5, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        t_out = t_enc(torch.from_numpy(x)).numpy()
+    j_out = np.asarray(j_enc(jnp.asarray(x)))
+    assert t_out.shape == j_out.shape
+    err = np.abs(t_out - j_out).max()
+    assert err < 2e-4, f"encoder err {err}"
+
+    torch.manual_seed(0)
+    t_dec = TDec(z_channels=4, **cfg)
+    t_dec.eval()
+    j_dec = DecoderBase(z_channels=4, rngs=nnx.Rngs(0), **cfg)
+    missing, _ = load_torch_state_dict(j_dec, {k: v.detach().numpy() for k, v in t_dec.state_dict().items()}, strict=True)
+    assert not missing
+
+    z = rng.randn(*t_out.shape).astype(np.float32)
+    with torch.no_grad():
+        t_img = t_dec(torch.from_numpy(z)).numpy()
+    j_img = np.asarray(j_dec(jnp.asarray(z)))
+    assert t_img.shape == j_img.shape
+    err = np.abs(t_img - j_img).max()
+    assert err < 2e-4, f"decoder err {err}"
+
+
 def test_causal_encoder_decoder_factorized_parity():
     import torch
     from uniception.models.libs.cosmos_tokenizer.modules.layers3d import DecoderFactorized as TDec

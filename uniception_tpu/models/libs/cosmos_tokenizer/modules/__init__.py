@@ -19,7 +19,9 @@ from uniception_tpu.models.libs.cosmos_tokenizer.modules.quantizers import (
 
 
 from uniception_tpu.models.libs.cosmos_tokenizer.modules.layers3d import (
+    DecoderBase,
     DecoderFactorized,
+    EncoderBase,
     EncoderFactorized,
 )
 
@@ -33,10 +35,12 @@ class DecoderType(Enum):
 
 
 class Encoder3DType(Enum):
+    BASE = EncoderBase
     FACTORIZED = EncoderFactorized
 
 
 class Decoder3DType(Enum):
+    BASE = DecoderBase
     FACTORIZED = DecoderFactorized
 
 

@@ -5,10 +5,9 @@ Behavioral parity with reference
 uniception/models/libs/cosmos_tokenizer/modules/layers3d.py:48-965:
 CausalConv3d (first-frame replication in time + constant spatial pad),
 hybrid causal up/downsampling, factorized causal resnet blocks,
-spatial + causal-temporal attention, and the factorized encoder/decoder
-used by the CV/DV tokenizer configs. The non-factorized BASE variant
-(layers3d.py:448-684) is not yet ported (the shipped Cosmos video
-checkpoints use FACTORIZED).
+spatial + causal-temporal attention, and both encoder/decoder variants:
+FACTORIZED (used by the shipped CV/DV tokenizer configs) and the
+non-factorized BASE variant (layers3d.py:448-684).
 
 Data layout is (B, C, T, H, W) at module boundaries (reference parity);
 convs run channels-last internally.
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from uniception_tpu.models.libs.cosmos_tokenizer.modules.patching import Patcher3D, UnPatcher3D
+from uniception_tpu.models.libs.cosmos_tokenizer.modules.patching import Patcher, Patcher3D, UnPatcher, UnPatcher3D
 from uniception_tpu.nn.common import Identity
 from uniception_tpu.ops.attention import scaled_dot_product_attention
 
@@ -32,12 +31,17 @@ __all__ = [
     "CausalDownsample3d",
     "CausalHybridUpsample3d",
     "CausalHybridDownsample3d",
+    "CausalResnetBlock3d",
     "CausalResnetBlockFactorized3d",
     "CausalAttnBlock",
     "CausalTemporalAttnBlock",
+    "EncoderBase",
+    "DecoderBase",
     "EncoderFactorized",
     "DecoderFactorized",
 ]
+
+_LEGACY_NUM_GROUPS = 32  # GroupNorm default for the BASE variant (layers3d.py:45)
 
 
 def nonlinearity(x):
@@ -95,18 +99,24 @@ class CausalConv3d(nnx.Module):
 
 
 class CausalNormalize(nnx.Module):
-    "GroupNorm over (C, H, W) per frame when num_groups == 1 (utils.py:65-82)."
+    """GroupNorm with per-frame stats when num_groups == 1 (causal), else
+    legacy spatio-temporal stats over the whole clip (utils.py:64-81)."""
 
     def __init__(self, in_channels, num_groups=1, *, dtype=None, param_dtype=jnp.float32, rngs):
         self.norm = nnx.GroupNorm(in_channels, num_groups=num_groups, epsilon=1e-6, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_groups = num_groups
 
     def __call__(self, x):
-        "x: (B, C, T, H, W); stats computed per-frame (causal)."
+        "x: (B, C, T, H, W)."
         B, C, T, H, W = x.shape
-        x = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B * T, H, W, C)
+        if self.num_groups == 1:
+            x = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B * T, H, W, C)
+            x = self.norm(x)
+            return jnp.transpose(x.reshape(B, T, H, W, C), (0, 4, 1, 2, 3))
+        # legacy non-causal: stats over (T, H, W, C/group) jointly
+        x = jnp.transpose(x, (0, 2, 3, 4, 1))
         x = self.norm(x)
-        return jnp.transpose(x.reshape(B, T, H, W, C), (0, 4, 1, 2, 3))
+        return jnp.transpose(x, (0, 4, 1, 2, 3))
 
 
 def _replication_pad_time(x):
@@ -210,6 +220,28 @@ class Seq3d(nnx.Module):
         return x
 
 
+class CausalResnetBlock3d(nnx.Module):
+    "Non-factorized causal resnet block with full 3x3x3 convs (layers3d.py:255-291)."
+
+    def __init__(self, *, in_channels, out_channels=None, dropout=0.0, num_groups=1, dtype=None, param_dtype=jnp.float32, rngs):
+        out_channels = in_channels if out_channels is None else out_channels
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.norm1 = CausalNormalize(in_channels, num_groups=num_groups, **kw)
+        self.conv1 = CausalConv3d(in_channels, out_channels, 3, stride=1, padding=1, **kw)
+        self.norm2 = CausalNormalize(out_channels, num_groups=num_groups, **kw)
+        self.conv2 = CausalConv3d(out_channels, out_channels, 3, stride=1, padding=1, **kw)
+        self.nin_shortcut = (
+            CausalConv3d(in_channels, out_channels, 1, stride=1, padding=0, **kw)
+            if in_channels != out_channels
+            else Identity()
+        )
+
+    def __call__(self, x):
+        h = self.conv1(nonlinearity(self.norm1(x)))
+        h = self.conv2(nonlinearity(self.norm2(h)))
+        return self.nin_shortcut(x) + h
+
+
 class CausalResnetBlockFactorized3d(nnx.Module):
     "Factorized causal resnet block (layers3d.py:294-360)."
 
@@ -294,6 +326,191 @@ class CausalTemporalAttnBlock(nnx.Module):
 
 class _Container(nnx.Module):
     pass
+
+
+def _per_frame(fn, x):
+    "Apply a 2D (B,C,H,W) fn per frame of a (B,C,T,H,W) video (utils.py:23-33 time2batch)."
+    B, C, T, H, W = x.shape
+    y = fn(jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B * T, C, H, W))
+    return jnp.transpose(y.reshape(B, T, *y.shape[1:]), (0, 2, 1, 3, 4))
+
+
+class EncoderBase(nnx.Module):
+    """Non-factorized causal video encoder (layers3d.py:448-567). (B,C,T,H,W) API.
+
+    Differences from EncoderFactorized: full 3x3x3 convs, spatial-only
+    attention, per-frame 2D patching, CausalDownsample3d at every level
+    but the last, and a replication-padded temporal avg-pool at the last
+    level (layers3d.py:546-557).
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        channels: int,
+        channels_mult: List[int],
+        num_res_blocks: int,
+        attn_resolutions: List[int],
+        dropout: float,
+        resolution: int,
+        z_channels: int,
+        *,
+        dtype=None,
+        param_dtype=jnp.float32,
+        rngs=None,
+        **ignore_kwargs,
+    ):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_resolutions = len(channels_mult)
+        self.num_res_blocks = num_res_blocks
+
+        patch_size = ignore_kwargs.get("patch_size", 1)
+        self.patcher = Patcher(patch_size, ignore_kwargs.get("patch_method", "rearrange"))
+        in_channels = in_channels * patch_size * patch_size
+
+        self.conv_in = CausalConv3d(in_channels, channels, 3, stride=1, padding=1, **kw)
+
+        num_groups = ignore_kwargs.get("num_groups", _LEGACY_NUM_GROUPS)
+        curr_res = resolution // patch_size
+        in_ch_mult = (1,) + tuple(channels_mult)
+        self.down = nnx.List([])
+        block_in = channels
+        for i_level in range(self.num_resolutions):
+            block, attn = [], []
+            block_in = channels * in_ch_mult[i_level]
+            block_out = channels * channels_mult[i_level]
+            for _ in range(num_res_blocks):
+                block.append(CausalResnetBlock3d(in_channels=block_in, out_channels=block_out, dropout=dropout, num_groups=num_groups, **kw))
+                block_in = block_out
+                if curr_res in attn_resolutions:
+                    attn.append(CausalAttnBlock(block_in, num_groups=num_groups, **kw))
+            down = _Container()
+            down.block = nnx.List(block)
+            down.attn = nnx.List(attn)
+            if i_level != self.num_resolutions - 1:
+                down.downsample = CausalDownsample3d(block_in, **kw)
+                curr_res = curr_res // 2
+            self.down.append(down)
+
+        self.mid = _Container()
+        self.mid.block_1 = CausalResnetBlock3d(in_channels=block_in, out_channels=block_in, dropout=dropout, num_groups=num_groups, **kw)
+        self.mid.attn_1 = CausalAttnBlock(block_in, num_groups=num_groups, **kw)
+        self.mid.block_2 = CausalResnetBlock3d(in_channels=block_in, out_channels=block_in, dropout=dropout, num_groups=num_groups, **kw)
+
+        self.norm_out = CausalNormalize(block_in, num_groups=num_groups, **kw)
+        self.conv_out = CausalConv3d(block_in, z_channels, 3, stride=1, padding=1, **kw)
+
+    def __call__(self, x):
+        x = _per_frame(self.patcher, x)
+        h = self.conv_in(x)
+        for i_level in range(self.num_resolutions):
+            down = self.down[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = down.block[i_block](h)
+                if len(down.attn) > 0:
+                    h = down.attn[i_block](h)
+            if i_level != self.num_resolutions - 1:
+                h = down.downsample(h)
+            else:
+                # causal temporal downsample: replication-pad then avg-pool
+                # over time (layers3d.py:546-557)
+                tf = 2 if h.shape[2] > 1 else 1
+                h = _replication_pad_time(h)
+                h = jax.lax.reduce_window(
+                    h, 0.0, jax.lax.add, (1, 1, tf, 1, 1), (1, 1, 2, 1, 1), "VALID"
+                ) / float(tf)
+        h = self.mid.block_1(h)
+        h = self.mid.attn_1(h)
+        h = self.mid.block_2(h)
+        return self.conv_out(nonlinearity(self.norm_out(h)))
+
+
+class DecoderBase(nnx.Module):
+    """Non-factorized causal video decoder (layers3d.py:570-684). (B,C,T,H,W) API.
+
+    Mirrors EncoderBase; at the final level the temporal upsample is a
+    causal repeat-and-drop (layers3d.py:669-676), and the output is
+    per-frame 2D unpatched.
+    """
+
+    def __init__(
+        self,
+        out_channels: int,
+        channels: int,
+        channels_mult: List[int],
+        num_res_blocks: int,
+        attn_resolutions: List[int],
+        dropout: float,
+        resolution: int,
+        z_channels: int,
+        *,
+        dtype=None,
+        param_dtype=jnp.float32,
+        rngs=None,
+        **ignore_kwargs,
+    ):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_resolutions = len(channels_mult)
+        self.num_res_blocks = num_res_blocks
+
+        patch_size = ignore_kwargs.get("patch_size", 1)
+        self.unpatcher = UnPatcher(patch_size, ignore_kwargs.get("patch_method", "rearrange"))
+        out_ch = out_channels * patch_size * patch_size
+
+        block_in = channels * channels_mult[self.num_resolutions - 1]
+        curr_res = (resolution // patch_size) // 2 ** (self.num_resolutions - 1)
+
+        self.conv_in = CausalConv3d(z_channels, block_in, 3, stride=1, padding=1, **kw)
+
+        num_groups = ignore_kwargs.get("num_groups", _LEGACY_NUM_GROUPS)
+
+        self.mid = _Container()
+        self.mid.block_1 = CausalResnetBlock3d(in_channels=block_in, out_channels=block_in, dropout=dropout, num_groups=num_groups, **kw)
+        self.mid.attn_1 = CausalAttnBlock(block_in, num_groups=num_groups, **kw)
+        self.mid.block_2 = CausalResnetBlock3d(in_channels=block_in, out_channels=block_in, dropout=dropout, num_groups=num_groups, **kw)
+
+        ups = []
+        for i_level in reversed(range(self.num_resolutions)):
+            block, attn = [], []
+            block_out = channels * channels_mult[i_level]
+            for _ in range(num_res_blocks + 1):
+                block.append(CausalResnetBlock3d(in_channels=block_in, out_channels=block_out, dropout=dropout, num_groups=num_groups, **kw))
+                block_in = block_out
+                if curr_res in attn_resolutions:
+                    attn.append(CausalAttnBlock(block_in, num_groups=num_groups, **kw))
+            up = _Container()
+            up.block = nnx.List(block)
+            up.attn = nnx.List(attn)
+            if i_level != 0:
+                up.upsample = CausalUpsample3d(block_in, **kw)
+                curr_res = curr_res * 2
+            ups.insert(0, up)
+        self.up = nnx.List(ups)
+
+        self.norm_out = CausalNormalize(block_in, num_groups=num_groups, **kw)
+        self.conv_out = CausalConv3d(block_in, out_ch, 3, stride=1, padding=1, **kw)
+
+    def __call__(self, z):
+        h = self.conv_in(z)
+        h = self.mid.block_1(h)
+        h = self.mid.attn_1(h)
+        h = self.mid.block_2(h)
+        for i_level in reversed(range(self.num_resolutions)):
+            up = self.up[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = up.block[i_block](h)
+                if len(up.attn) > 0:
+                    h = up.attn[i_block](h)
+            if i_level != 0:
+                h = up.upsample(h)
+            else:
+                # causal temporal upsample: repeat then drop leading frames
+                tf = 2 if h.shape[2] > 1 else 1
+                h = jnp.repeat(h, tf, axis=2)[:, :, tf - 1 :]
+        h = self.conv_out(nonlinearity(self.norm_out(h)))
+        return _per_frame(self.unpatcher, h)
 
 
 class EncoderFactorized(nnx.Module):

@@ -8,8 +8,8 @@ from collections import namedtuple
 import jax.numpy as jnp
 from flax import nnx
 
-from uniception_tpu.models.libs.cosmos_tokenizer.modules import DiscreteQuantizer
-from uniception_tpu.models.libs.cosmos_tokenizer.modules.layers3d import CausalConv3d, DecoderFactorized, EncoderFactorized
+from uniception_tpu.models.libs.cosmos_tokenizer.modules import Decoder3DType, DiscreteQuantizer, Encoder3DType
+from uniception_tpu.models.libs.cosmos_tokenizer.modules.layers3d import CausalConv3d
 
 __all__ = ["CausalDiscreteVideoTokenizer"]
 
@@ -17,18 +17,21 @@ NetworkEval = namedtuple("NetworkEval", ["reconstructions", "quant_loss", "quant
 
 
 class CausalDiscreteVideoTokenizer(nnx.Module):
-    "Factorized causal video tokenizer with FSQ/ResFSQ/VQ/LFQ quantization."
+    "Causal video tokenizer (BASE or FACTORIZED) with FSQ/ResFSQ/VQ/LFQ quantization."
 
-    def __init__(self, z_channels: int, embedding_dim: int, *, rngs=None, dtype=None, param_dtype=jnp.float32, **kwargs):
+    def __init__(self, z_channels: int, embedding_dim: int, z_factor: int = 1, *, rngs=None, dtype=None, param_dtype=jnp.float32, **kwargs):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.name = kwargs.get("name", "CausalDiscreteVideoTokenizer")
         self.embedding_dim = embedding_dim
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
-        self.encoder = EncoderFactorized(z_channels=z_channels, **kw, **kwargs)
-        self.decoder = DecoderFactorized(z_channels=z_channels, **kw, **kwargs)
+        # variant selection mirrors reference networks/discrete_video.py:34-38
+        encoder_name = kwargs.get("encoder", Encoder3DType.BASE.name)
+        self.encoder = Encoder3DType[encoder_name].value(z_channels=z_factor * z_channels, **kw, **kwargs)
+        decoder_name = kwargs.get("decoder", Decoder3DType.BASE.name)
+        self.decoder = Decoder3DType[decoder_name].value(z_channels=z_channels, **kw, **kwargs)
 
-        self.quant_conv = CausalConv3d(z_channels, embedding_dim, kernel_size=1, padding=0, **kw)
+        self.quant_conv = CausalConv3d(z_factor * z_channels, embedding_dim, kernel_size=1, padding=0, **kw)
         self.post_quant_conv = CausalConv3d(embedding_dim, z_channels, kernel_size=1, padding=0, **kw)
 
         quantizer_name = kwargs.get("quantizer", DiscreteQuantizer.RESFSQ.name)

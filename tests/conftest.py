@@ -12,15 +12,20 @@ import sys
 # Force CPU: the environment ships JAX_PLATFORMS=axon (TPU tunnel) and a
 # sitecustomize that may import jax at interpreter start, so we must
 # override both the env var AND the live config value.
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# Set UNICEPTION_TPU_TEST_PLATFORM=tpu to run the TPU-gated kernel tests
+# (tests/ops/test_flash_attention_tpu.py etc.) on real hardware instead.
+_platform = os.environ.get("UNICEPTION_TPU_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REFERENCE_PATH = "/root/reference"

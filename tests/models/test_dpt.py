@@ -136,3 +136,41 @@ def test_dpt_double_upsampling_parity():
     j_out = j(PredictionHeadLayeredInput(list_features=[jnp.asarray(f) for f in feats], target_output_shape=(128, 128)))
     err = np.abs(t_out.features_upsampled_8x.numpy() - np.asarray(j_out.features_upsampled_8x)).max()
     assert err < 5e-5, f"max abs err {err}"
+
+
+@pytest.mark.parametrize("head_type", ["regression", "semseg"])
+def test_dpt_output_adapter_parity(head_type):
+    import torch
+    from uniception.models.libs.croco.dpt_block import DPTOutputAdapter as TAdapter
+
+    from uniception_tpu.nn.dpt_parts import DPTOutputAdapter
+
+    cfg = dict(
+        num_channels=2,
+        stride_level=1,
+        patch_size=16,
+        hooks=[0, 1, 2, 3],
+        layer_dims=[16, 24, 32, 48],
+        feature_dim=24,
+        last_dim=8,
+        dim_tokens_enc=40,
+        head_type=head_type,
+    )
+    torch.manual_seed(0)
+    t_mod = TAdapter(**cfg)
+    t_mod.eval()
+    j_mod = DPTOutputAdapter(rngs=nnx.Rngs(0), **cfg)
+    missing, _ = load_torch_state_dict(j_mod, _sd(t_mod), strict=True)
+    assert not missing
+
+    # patch grid must be even and square-compatible: the reference's own
+    # fixed 2x upsample chain requires N_H, N_W divisible by 2
+    H, W = 64, 64
+    rng = np.random.RandomState(3)
+    tokens = [rng.randn(2, (H // 16) * (W // 16), 40).astype(np.float32) for _ in range(4)]
+    with torch.no_grad():
+        t_out = t_mod([torch.from_numpy(t) for t in tokens], (H, W)).numpy()
+    j_out = np.asarray(j_mod([jnp.asarray(t) for t in tokens], (H, W)))
+    assert t_out.shape == j_out.shape
+    err = np.abs(t_out - j_out).max()
+    assert err < 2e-4, f"{head_type} err {err}"

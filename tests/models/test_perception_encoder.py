@@ -89,3 +89,70 @@ def test_pe_intermediate_layers_parity():
     assert len(t_outs) == len(j_outs) == 2
     for t_o, j_o in zip(t_outs, j_outs):
         assert np.abs(t_o.numpy() - np.asarray(j_o)).max() < 5e-5
+
+
+def _fill_params_deterministic(t_mod):
+    "torch TextTransformer uses torch.empty for some params; fill all deterministically."
+    import torch
+
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for p in t_mod.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+
+
+@pytest.mark.parametrize("pool_type", ["argmax", "first", "last"])
+def test_pe_text_transformer_parity(pool_type):
+    import torch
+    from uniception.models.libs.perception_encoder.vision_encoder.pe import TextTransformer as TText
+
+    from uniception_tpu.models.libs.perception_encoder.pe import TextTransformer
+
+    cfg = dict(context_length=16, vocab_size=100, width=64, heads=4, layers=3, output_dim=32, pool_type=pool_type)
+    torch.manual_seed(0)
+    t_mod = TText(**cfg)
+    t_mod.eval()
+    _fill_params_deterministic(t_mod)
+    j_mod = TextTransformer(rngs=nnx.Rngs(0), **cfg)
+    sd = {k: v.detach().numpy() for k, v in t_mod.state_dict().items()}
+    missing, _ = load_torch_state_dict(j_mod, sd, strict=True)
+    assert not missing
+
+    rng = np.random.RandomState(0)
+    text = rng.randint(1, 100, size=(2, 16)).astype(np.int64)
+    with torch.no_grad():
+        t_out = t_mod(torch.from_numpy(text)).numpy()
+    j_out = np.asarray(j_mod(jnp.asarray(text)))
+    assert t_out.shape == j_out.shape
+    err = np.abs(t_out - j_out).max()
+    assert err < 5e-5, f"{pool_type}: {err}"
+
+
+def test_pe_clip_parity():
+    import torch
+    from uniception.models.libs.perception_encoder.vision_encoder.config import PEConfig as TVCfg
+    from uniception.models.libs.perception_encoder.vision_encoder.config import PETextConfig as TTCfg
+    from uniception.models.libs.perception_encoder.vision_encoder.pe import CLIP as TCLIP
+
+    from uniception_tpu.models.libs.perception_encoder.pe import CLIP, PEConfig, PETextConfig
+
+    vcfg = dict(SMALL)
+    tcfg = dict(context_length=16, vocab_size=100, width=48, heads=4, layers=2, output_dim=32)
+    torch.manual_seed(0)
+    t_mod = TCLIP(TVCfg(**vcfg), TTCfg(**tcfg))
+    t_mod.eval()
+    _fill_params_deterministic(t_mod)
+    j_mod = CLIP(PEConfig(**vcfg), PETextConfig(**tcfg), rngs=nnx.Rngs(0))
+    sd = {k: v.detach().numpy() for k, v in t_mod.state_dict().items()}
+    missing, _ = load_torch_state_dict(j_mod, sd, strict=True)
+    assert not missing
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(2, 3, 56, 56).astype(np.float32)
+    text = rng.randint(1, 100, size=(2, 16)).astype(np.int64)
+    with torch.no_grad():
+        t_img, t_txt, t_scale = t_mod(torch.from_numpy(img), torch.from_numpy(text))
+    j_img, j_txt, j_scale = j_mod(jnp.asarray(img), jnp.asarray(text))
+    assert np.abs(t_img.numpy() - np.asarray(j_img)).max() < 5e-5
+    assert np.abs(t_txt.numpy() - np.asarray(j_txt)).max() < 5e-5
+    assert abs(float(t_scale) - float(j_scale)) < 1e-5

@@ -28,7 +28,16 @@ from uniception_tpu.nn.common import Identity, gelu_exact
 from uniception_tpu.ops.attention import scaled_dot_product_attention
 from uniception_tpu.ops.resize import interpolate
 
-__all__ = ["PEConfig", "PE_VISION_CONFIG", "VisionTransformer", "PERope2D"]
+__all__ = [
+    "PEConfig",
+    "PETextConfig",
+    "PE_VISION_CONFIG",
+    "PE_TEXT_CONFIG",
+    "VisionTransformer",
+    "TextTransformer",
+    "CLIP",
+    "PERope2D",
+]
 
 
 @dataclass
@@ -56,7 +65,7 @@ class PEConfig:
 PE_VISION_CONFIG = {}
 PE_VISION_CONFIG["PE-Core-G14-448"] = PEConfig(
     image_size=448, patch_size=14, width=1536, layers=50, heads=16, mlp_ratio=8960 / 1536,
-    pool_type="attn", output_dim=1280, use_cls_token=True,
+    pool_type="attn", output_dim=1280, use_cls_token=False,
 )
 PE_VISION_CONFIG["PE-Core-L14-336"] = PEConfig(
     image_size=336, patch_size=14, width=1024, layers=24, heads=16, mlp_ratio=4.0,
@@ -77,6 +86,25 @@ PE_VISION_CONFIG["PE-Lang-L14-448"] = replace(
 PE_VISION_CONFIG["PE-Spatial-G14-448"] = replace(
     PE_VISION_CONFIG["PE-Core-G14-448"], image_size=448, pool_type="none", use_ln_post=False, output_dim=None,
 )
+
+
+@dataclass
+class PETextConfig:
+    "Text tower config (reference config.py:56-67)."
+
+    context_length: int
+    width: int
+    heads: int
+    layers: int
+    output_dim: int
+    mlp_ratio: float = 4.0
+    vocab_size: int = 49408
+
+
+PE_TEXT_CONFIG = {}
+PE_TEXT_CONFIG["PE-Core-G14-448"] = PETextConfig(context_length=72, width=1280, heads=20, layers=24, output_dim=1280)
+PE_TEXT_CONFIG["PE-Core-L14-336"] = PETextConfig(context_length=32, width=1024, heads=16, layers=24, output_dim=1024)
+PE_TEXT_CONFIG["PE-Core-B16-224"] = PE_TEXT_CONFIG["PE-Core-L14-336"]
 
 
 def _rotate_half_interleaved(x):
@@ -139,7 +167,8 @@ class SelfAttention(nnx.Module):
         self.out_proj = nnx.Linear(embed_dim, embed_dim, use_bias=True, param_dtype=param_dtype, rngs=rngs)
         self.rope = rope
 
-    def __call__(self, x, grid_hw=None):
+    def __call__(self, x, grid_hw=None, attn_mask=None):
+        "attn_mask: optional additive (L, L) float mask (torch convention)."
         B, N, E = x.shape
         proj = x @ self.in_proj_weight[...].T.astype(x.dtype) + self.in_proj_bias[...].astype(x.dtype)
         q, k, v = jnp.split(proj, 3, axis=-1)
@@ -148,7 +177,13 @@ class SelfAttention(nnx.Module):
         v = v.reshape(B, N, self.num_heads, self.head_dim)
         if self.rope is not None:
             q, k = self.rope(q, k, grid_hw)
-        attn = scaled_dot_product_attention(q, k, v, scale=self.scale)
+        if attn_mask is not None:
+            # masked path (text tower, tiny L): explicit fp32 softmax
+            logits = jnp.einsum("bnhd,bmhd->bhnm", q * self.scale, k).astype(jnp.float32)
+            logits = logits + attn_mask.astype(jnp.float32)[None, None]
+            attn = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(logits, axis=-1).astype(v.dtype), v)
+        else:
+            attn = scaled_dot_product_attention(q, k, v, scale=self.scale)
         return self.out_proj(attn.reshape(B, N, E))
 
 
@@ -185,8 +220,8 @@ class ResidualAttentionBlock(nnx.Module):
         self.ln_2 = norm(d_model, param_dtype=param_dtype, rngs=rngs)
         self.mlp = _PEMlp(d_model, int(d_model * mlp_ratio), param_dtype=param_dtype, rngs=rngs)
 
-    def __call__(self, x, grid_hw=None):
-        x = x + self.ls_1(self.attn(self.ln_1(x), grid_hw=grid_hw))
+    def __call__(self, x, grid_hw=None, attn_mask=None):
+        x = x + self.ls_1(self.attn(self.ln_1(x), grid_hw=grid_hw, attn_mask=attn_mask))
         x = x + self.ls_2(self.mlp(self.ln_2(x)))
         return x
 
@@ -208,10 +243,10 @@ class Transformer(nnx.Module):
         self.layers = ((self.layers + layer_idx) % self.layers) + 1
         self.resblocks = nnx.List(list(self.resblocks)[: self.layers])
 
-    def __call__(self, x, grid_hw=None, layer_idx: int = -1):
+    def __call__(self, x, grid_hw=None, layer_idx: int = -1, attn_mask=None):
         stop_idx = (self.layers + layer_idx) % self.layers
         for i, blk in enumerate(self.resblocks):
-            x = blk(x, grid_hw=grid_hw)
+            x = blk(x, grid_hw=grid_hw, attn_mask=attn_mask)
             if i == stop_idx:
                 break
         return x
@@ -423,3 +458,151 @@ class VisionTransformer(nnx.Module):
         if self.proj_dim is not None:
             x = x @ self.proj[...].astype(x.dtype)
         return x
+
+
+class TextTransformer(nnx.Module):
+    """CLIP text tower (pe.py:565-703).
+
+    Causal-masked transformer over BPE token ids with argmax (EOT-token)
+    pooling and a linear projection to the shared embedding space. State
+    keys match torch (token_embedding.weight, positional_embedding,
+    transformer.resblocks.*, ln_final, text_projection).
+    """
+
+    def __init__(
+        self,
+        context_length: int = 72,
+        vocab_size: int = 49408,
+        width: int = 512,
+        heads: int = 8,
+        layers: int = 12,
+        mlp_ratio: float = 4.0,
+        ls_init_value: Optional[float] = None,
+        output_dim: int = 1280,
+        no_causal_mask: bool = False,
+        pad_id: int = 0,
+        pool_type: str = "argmax",
+        proj_bias: bool = False,
+        output_tokens: bool = False,
+        use_ln_post: bool = True,
+        *,
+        param_dtype=jnp.float32,
+        rngs=None,
+        **_ignore,
+    ):
+        assert pool_type in ("first", "last", "argmax", "none")
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.pool_type = pool_type
+        self.output_tokens = output_tokens
+        self.num_pos = self.context_length = context_length
+        self.vocab_size = vocab_size
+        self.width = width
+        self.output_dim = output_dim
+        self.heads = heads
+        self.pad_id = pad_id
+        self.layers = layers
+        self.causal = not no_causal_mask
+
+        self.token_embedding = nnx.Embed(vocab_size, width, param_dtype=param_dtype, rngs=rngs)
+        self.positional_embedding = nnx.Param(
+            0.01 * jax.random.normal(rngs.params(), (self.num_pos, width), param_dtype)
+        )
+        self.transformer = Transformer(
+            width=width, layers=layers, heads=heads, mlp_ratio=mlp_ratio,
+            ls_init_value=ls_init_value, param_dtype=param_dtype, rngs=rngs,
+        )
+        norm = layer_norm_factory(eps=1e-5)
+        self.ln_final = norm(width, param_dtype=param_dtype, rngs=rngs) if use_ln_post else Identity()
+        if proj_bias:
+            self.text_projection = nnx.Linear(width, output_dim, param_dtype=param_dtype, rngs=rngs)
+        else:
+            self.text_projection = nnx.Param(
+                (width**-0.5) * jax.random.normal(rngs.params(), (width, output_dim), param_dtype)
+            )
+
+    def _causal_mask(self, seq_len):
+        "Additive upper-triangular -inf mask (pe.py:633-639 build_causal_mask)."
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+        return jnp.where(col > row, -jnp.inf, 0.0).astype(jnp.float32)
+
+    def text_global_pool(self, x, text=None, pool_type: str = "argmax"):
+        if pool_type == "first":
+            return x[:, 0], x[:, 1:]
+        if pool_type == "last":
+            return x[:, -1], x[:, :-1]
+        if pool_type == "argmax":
+            # EOT token = highest id in each sequence (pe.py:668-680)
+            assert text is not None
+            idx = jnp.argmax(text, axis=-1)
+            return x[jnp.arange(x.shape[0]), idx], x
+        return x, x
+
+    def __call__(self, text):
+        "text: (B, L) int token ids -> (B, output_dim) pooled embedding."
+        seq_len = text.shape[1]
+        x = self.token_embedding(text)
+        attn_mask = self._causal_mask(seq_len) if self.causal else None
+        x = x + self.positional_embedding[...][:seq_len].astype(x.dtype)
+        x = self.transformer(x, attn_mask=attn_mask)
+        x = self.ln_final(x)
+        pooled, tokens = self.text_global_pool(x, text, pool_type=self.pool_type)
+        if isinstance(self.text_projection, nnx.Linear):
+            pooled = self.text_projection(pooled)
+        else:
+            pooled = pooled @ self.text_projection[...].astype(pooled.dtype)
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class CLIP(TextTransformer):
+    "Joint image-text model (pe.py:704-752): text tower + `visual` + logit scale."
+
+    def __init__(self, vision_cfg: PEConfig, text_cfg: PETextConfig, init_logit_scale: float = math.log(1 / 0.07), *, param_dtype=jnp.float32, rngs=None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        super().__init__(param_dtype=param_dtype, rngs=rngs, **text_cfg.__dict__)
+        self.visual = VisionTransformer(param_dtype=param_dtype, rngs=rngs, **vision_cfg.__dict__)
+        self.image_size = self.visual.image_size
+        self.logit_scale = nnx.Param(jnp.asarray(init_logit_scale, param_dtype))
+
+    def encode_image(self, image, normalize: bool = False):
+        x = self.visual(image)
+        return _l2_normalize(x) if normalize else x
+
+    def encode_video(self, video, normalize: bool = False):
+        "video: (B, N, C, H, W) -> mean of per-frame embeddings."
+        b, n, c, h, w = video.shape
+        feats = self.encode_image(video.reshape(b * n, c, h, w), normalize=normalize)
+        return feats.reshape(b, n, -1).mean(axis=1)
+
+    def encode_text(self, text, normalize: bool = False):
+        x = TextTransformer.__call__(self, text)
+        return _l2_normalize(x) if normalize else x
+
+    def __call__(self, image=None, text=None):
+        image_features = self.encode_image(image, normalize=True) if image is not None else None
+        text_features = self.encode_text(text, normalize=True) if text is not None else None
+        return image_features, text_features, jnp.exp(self.logit_scale[...])
+
+    @classmethod
+    def from_config(cls, name: str, pretrained: bool = False, checkpoint_path: Optional[str] = None, *, rngs=None):
+        if name not in PE_VISION_CONFIG or name not in PE_TEXT_CONFIG:
+            raise RuntimeError(f"{name} not found in configs.")
+        model = cls(PE_VISION_CONFIG[name], PE_TEXT_CONFIG[name], rngs=rngs)
+        if pretrained:
+            from uniception_tpu.utils.checkpoint import load_checkpoint
+            from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+            sd = load_checkpoint(checkpoint_path)
+            sd = sd.get("state_dict", sd.get("weights", sd)) if isinstance(sd, dict) else sd
+            load_torch_state_dict(model, {k.replace("module.", ""): v for k, v in sd.items()}, strict=False)
+        return model
+
+    @classmethod
+    def available_configs(cls):
+        return [k for k in PE_VISION_CONFIG if k in PE_TEXT_CONFIG]

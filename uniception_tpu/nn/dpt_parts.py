@@ -29,6 +29,8 @@ __all__ = [
     "Conv2dTorch",
     "ConvTranspose2dTorch",
     "Seq",
+    "Interpolate2x",
+    "DPTOutputAdapter",
 ]
 
 
@@ -166,3 +168,154 @@ def make_scratch_convs(in_shape, out_shape, *, dtype=None, param_dtype=jnp.float
     return nnx.List(
         [Conv2dTorch(cin, out_shape, 3, 1, 1, bias=False, dtype=dtype, param_dtype=param_dtype, rngs=rngs) for cin in in_shape]
     )
+
+
+class Interpolate2x(nnx.Module):
+    "Parameter-free 2x bilinear upsample layer over NHWC (dpt_block.py Interpolate)."
+
+    def __init__(self, scale_factor=2, mode="bilinear", align_corners=True):
+        self.scale_factor = scale_factor
+        self.mode = mode
+        self.align_corners = align_corners
+
+    def __call__(self, x):
+        x = jnp.transpose(x, (0, 3, 1, 2))
+        x = interpolate(x, scale_factor=self.scale_factor, mode=self.mode, align_corners=self.align_corners)
+        return jnp.transpose(x, (0, 2, 3, 1))
+
+
+class _Container(nnx.Module):
+    pass
+
+
+class DPTOutputAdapter(nnx.Module):
+    """MultiMAE-style DPT output adapter (dpt_block.py:326-530).
+
+    Takes a list of per-depth encoder token tensors, hooks 4 of them,
+    projects each through its act_postprocess resize (4x deconv / 2x
+    deconv / identity / stride-2 conv), fuses through 4 refinenet stages
+    and applies a regression or semantic-segmentation output head.
+
+    I/O: encoder_tokens are (B, N, C); the output is NCHW to match the
+    reference contract. State paths mirror torch keys
+    (scratch.layer{i}_rn, scratch.refinenet{i}, act_{i}_postprocess.{j},
+    head.{j}); the torch duplicates under scratch.layer_rn.* /
+    act_postprocess.* alias the same tensors and are ignored on load.
+    """
+
+    def __init__(
+        self,
+        num_channels: int = 1,
+        stride_level: int = 1,
+        patch_size=16,
+        main_tasks=("rgb",),
+        hooks=(2, 5, 8, 11),
+        layer_dims=(96, 192, 384, 768),
+        feature_dim: int = 256,
+        last_dim: int = 32,
+        use_bn: bool = False,
+        dim_tokens_enc: Optional[int] = None,
+        head_type: str = "regression",
+        output_width_ratio=1,
+        nonlinearity: str = "relu",
+        *,
+        dtype=None,
+        param_dtype=jnp.float32,
+        rngs=None,
+        **_ignore,
+    ):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_channels = num_channels
+        self.stride_level = stride_level
+        self.patch_size = (patch_size, patch_size) if isinstance(patch_size, int) else tuple(patch_size)
+        self.main_tasks = tuple(main_tasks)
+        self.hooks = list(hooks)
+        self.layer_dims = list(layer_dims)
+        self.feature_dim = feature_dim
+        self.head_type = head_type
+        self.dim_tokens_enc = None
+
+        self.P_H = max(1, self.patch_size[0] // stride_level)
+        self.P_W = max(1, self.patch_size[1] // stride_level)
+
+        self.scratch = _Container()
+        convs = make_scratch_convs(self.layer_dims, feature_dim, **kw)
+        self.scratch.layer1_rn, self.scratch.layer2_rn, self.scratch.layer3_rn, self.scratch.layer4_rn = convs
+        self.scratch.refinenet1 = make_fusion_block(feature_dim, use_bn, output_width_ratio, nonlinearity, **kw)
+        self.scratch.refinenet2 = make_fusion_block(feature_dim, use_bn, output_width_ratio, nonlinearity, **kw)
+        self.scratch.refinenet3 = make_fusion_block(feature_dim, use_bn, output_width_ratio, nonlinearity, **kw)
+        self.scratch.refinenet4 = make_fusion_block(feature_dim, use_bn, output_width_ratio, nonlinearity, **kw)
+
+        if head_type == "regression":
+            self.head = Seq(
+                Conv2dTorch(feature_dim, feature_dim // 2, 3, 1, 1, **kw),
+                Interpolate2x(2, "bilinear", True),
+                Conv2dTorch(feature_dim // 2, last_dim, 3, 1, 1, **kw),
+                make_nonlinearity(nonlinearity, dim=last_dim),
+                Conv2dTorch(last_dim, num_channels, 1, 1, 0, **kw),
+            )
+        elif head_type == "semseg":
+            self.head = Seq(
+                Conv2dTorch(feature_dim, feature_dim, 3, 1, 1, bias=False, **kw),
+                nnx.BatchNorm(feature_dim, use_running_average=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+                if use_bn
+                else Identity(),
+                make_nonlinearity(nonlinearity, dim=feature_dim),
+                Identity(),  # torch Dropout(0.1) placeholder (inference no-op)
+                Conv2dTorch(feature_dim, num_channels, 1, 1, 0, **kw),
+                Interpolate2x(2, "bilinear", True),
+            )
+        else:
+            raise ValueError('DPT head_type must be "regression" or "semseg".')
+
+        if dim_tokens_enc is not None:
+            self.init(dim_tokens_enc=dim_tokens_enc, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def init(self, dim_tokens_enc=768, *, dtype=None, param_dtype=jnp.float32, rngs=None):
+        "Build the encoder-dim-dependent act_postprocess resizers (dpt_block.py:408-490)."
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        if isinstance(dim_tokens_enc, int):
+            dim_tokens_enc = 4 * [dim_tokens_enc]
+        self.dim_tokens_enc = [dt * len(self.main_tasks) for dt in dim_tokens_enc]
+        ld = self.layer_dims
+
+        self.act_1_postprocess = Seq(
+            Conv2dTorch(self.dim_tokens_enc[0], ld[0], 1, 1, 0, **kw),
+            ConvTranspose2dTorch(ld[0], ld[0], 4, 4, **kw),
+        )
+        self.act_2_postprocess = Seq(
+            Conv2dTorch(self.dim_tokens_enc[1], ld[1], 1, 1, 0, **kw),
+            ConvTranspose2dTorch(ld[1], ld[1], 2, 2, **kw),
+        )
+        self.act_3_postprocess = Seq(
+            Conv2dTorch(self.dim_tokens_enc[2], ld[2], 1, 1, 0, **kw),
+        )
+        self.act_4_postprocess = Seq(
+            Conv2dTorch(self.dim_tokens_enc[3], ld[3], 1, 1, 0, **kw),
+            Conv2dTorch(ld[3], ld[3], 3, 2, 1, **kw),
+        )
+
+    def __call__(self, encoder_tokens, image_size):
+        "encoder_tokens: list of (B, N, C); image_size: (H, W). Returns NCHW."
+        assert self.dim_tokens_enc is not None, "Need to call init(dim_tokens_enc) first"
+        H, W = image_size
+        N_H = H // (self.stride_level * self.P_H)
+        N_W = W // (self.stride_level * self.P_W)
+
+        layers = [encoder_tokens[hook] for hook in self.hooks]
+        # (B, N_H*N_W, C) -> NHWC (convs here run channels-last)
+        layers = [t.reshape(t.shape[0], N_H, N_W, t.shape[-1]) for t in layers]
+        posts = [self.act_1_postprocess, self.act_2_postprocess, self.act_3_postprocess, self.act_4_postprocess]
+        layers = [post(t) for post, t in zip(posts, layers)]
+        rn = [self.scratch.layer1_rn, self.scratch.layer2_rn, self.scratch.layer3_rn, self.scratch.layer4_rn]
+        layers = [conv(t) for conv, t in zip(rn, layers)]
+
+        path_4 = self.scratch.refinenet4(layers[3])
+        path_3 = self.scratch.refinenet3(path_4, layers[2])
+        path_2 = self.scratch.refinenet2(path_3, layers[1])
+        path_1 = self.scratch.refinenet1(path_2, layers[0])
+
+        out = self.head(path_1)
+        return jnp.transpose(out, (0, 3, 1, 2))

@@ -39,7 +39,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k, precis
 
     q_ref: (1, 1, BQ, D); k_ref/v_ref: (1, 1, BK, D); o_ref: (1, 1, BQ, D);
     lse_ref (training only): (1, 1, BQ, 128) logsumexp broadcast over lanes.
-    Scratch: m/l (BQ, 128) fp32, acc (BQ, D) fp32 — carried across k steps.
+    Scratch: m/l (BQ, 1) fp32, acc (BQ, D) fp32 — carried across k steps.
     """
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
@@ -69,26 +69,25 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k, precis
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1) + start
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]  # (BQ, 1)
+    m_prev = m_scr[:]  # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_new)  # (BQ, BK) fp32
     corr = jnp.exp(m_prev - m_new)  # (BQ, 1)
 
-    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
     )  # (BQ, D)
     acc_scr[:] = acc_scr[:] * corr + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    m_scr[:] = m_new
 
     @pl.when(k_idx == num_k - 1)
     def _finalize():
-        l_final = l_scr[:, :1]
+        l_final = l_scr[:]
         o_ref[0, 0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
         if with_lse:
-            lse_block = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[2:])
+            lse_block = jnp.broadcast_to(m_scr[:] + jnp.log(l_final), lse_ref.shape[2:])
             lse_ref[0, 0] = lse_block.astype(lse_ref.dtype)
 
 
@@ -157,8 +156,8 @@ def _flash_attention_impl(q, k, v, scale, block_q, block_k, with_lse=True):
         out_specs=tuple(out_specs) if with_lse else out_specs[0],
         out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -43,6 +43,8 @@ def torch_key_for(dotted: str, owner: nnx.Module, attr: str) -> str:
         return dotted.rsplit(".", 1)[0] + ".weight"
     if isinstance(owner, (nnx.LayerNorm, nnx.GroupNorm, nnx.RMSNorm, nnx.BatchNorm)) and attr == "scale":
         return dotted.rsplit(".", 1)[0] + ".weight"
+    if isinstance(owner, nnx.Embed) and attr == "embedding":
+        return dotted.rsplit(".", 1)[0] + ".weight"  # torch nn.Embedding, same (V, C) layout
     return dotted
 
 

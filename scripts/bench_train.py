@@ -1,0 +1,110 @@
+"""
+Training-step benchmark: DUSt3R ViT-L two-view @ 512x512, full
+fwd+bwd+adamw update on one chip.
+
+The reference ships no training loop (single-GPU harnesses only print
+fwd/bwd latency, e.g. uniception/models/encoders/utils.py:11-81); this
+script is the TPU-native equivalent measurement for the training path,
+exercising the Pallas flash-attention backward kernels.
+
+Usage: python scripts/bench_train.py  [BENCH_BATCH=4 BENCH_ITERS=6 ...]
+Prints one JSON line {"metric", "value", "unit"} (pairs/s/chip, training).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.models.utils.config import set_attention_impl, set_gelu_mode
+    from uniception_tpu.parallel.training import dust3r_confidence_loss
+
+    set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
+    set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))
+    IMG = int(os.environ.get("BENCH_IMG", "512"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "6"))
+
+    model = DUSt3R(
+        name="dust3r_512_linear",
+        img_size=(IMG, IMG),
+        patch_embed_cls="ManyAR_PatchEmbed",
+        pred_head_type="linear",
+        gradient_checkpointing=os.environ.get("BENCH_REMAT", "1") == "1",
+        dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
+        rngs=nnx.Rngs(0),
+    )
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, img1, img2, ts, tgt1, tgt2, carry):
+        m = nnx.merge(graphdef, params, rest)
+        r1, r2 = m.forward_pair(img1 + carry * 1e-12, img2, true_shape1=ts, true_shape2=ts)
+        return dust3r_confidence_loss(r1, r2, tgt1, tgt2).astype(jnp.float32)
+
+    def step(params, opt_state, img1, img2, ts, tgt1, tgt2, carry):
+        loss, grads = jax.value_and_grad(loss_fn)(params, img1, img2, ts, tgt1, tgt2, carry)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def make(iters):
+        @jax.jit
+        def many(params, opt_state, img1, img2, ts, tgt1, tgt2):
+            def body(c, _):
+                params, opt_state, carry = c
+                params, opt_state, loss = step(params, opt_state, img1, img2, ts, tgt1, tgt2, carry)
+                return (params, opt_state, loss), None
+
+            (params, opt_state, loss), _ = jax.lax.scan(body, (params, opt_state, jnp.float32(0)), None, length=iters)
+            return loss
+
+        return many
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
+    tgt1 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
+    tgt2 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
+    ts = jnp.broadcast_to(jnp.asarray([IMG, IMG], jnp.int32), (BATCH, 2))
+    args = (params, opt_state, img1, img2, ts, tgt1, tgt2)
+
+    short, long = make(1), make(1 + ITERS)
+    float(short(*args))
+    float(long(*args))
+    t_short, t_long = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(short(*args))
+        t_short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(long(*args))
+        t_long.append(time.perf_counter() - t0)
+    per_step = (min(t_long) - min(t_short)) / ITERS
+    pairs_per_sec = BATCH / per_step
+    print(
+        json.dumps(
+            {
+                "metric": "dust3r_vitl_512_linear_train_pairs_per_sec",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s/chip",
+            }
+        )
+    )
+    print(f"batch={BATCH} per_step={per_step * 1e3:.1f}ms attn={os.environ.get('BENCH_ATTN', 'pallas')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,3 +45,31 @@ def test_train_step_decreases_loss(model_axis, use_tp):
 
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_gradient_checkpointing_matches_no_remat():
+    "remat must change memory, not math: identical loss and grads."
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    t1 = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def loss_and_grads(remat):
+        from uniception_tpu.parallel.training import dust3r_confidence_loss
+
+        model = DUSt3R(name="remat_test", gradient_checkpointing=remat, rngs=nnx.Rngs(0), **SMALL)
+        graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+
+        def loss_fn(params):
+            m = nnx.merge(graphdef, params, rest)
+            r1, r2 = m.forward_pair(img1, img2)
+            return dust3r_confidence_loss(r1, r2, t1, t1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return float(loss), grads
+
+    l0, g0 = loss_and_grads(False)
+    l1, g1 = loss_and_grads(True)
+    assert abs(l0 - l1) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -20,6 +20,8 @@ from typing import Callable, List, Optional, Tuple, Union
 import jax.numpy as jnp
 from flax import nnx
 
+from uniception_tpu.nn.common import remat_call
+
 from uniception_tpu.models.encoders.base import UniCeptionViTEncoderBase, ViTEncoderInput, ViTEncoderOutput
 from uniception_tpu.models.encoders.patch_embed import get_patch_embed
 from uniception_tpu.models.utils.intermediate_feature_return import (
@@ -131,7 +133,7 @@ class CroCoEncoder(UniCeptionViTEncoderBase):
 
     def _block_apply(self, blk, features, pos):
         if self.gradient_checkpointing:
-            return nnx.remat(type(blk).__call__)(blk, features, pos)
+            return remat_call(blk, features, pos)
         return blk(features, pos)
 
     def _to_bchw(self, features, height, width):

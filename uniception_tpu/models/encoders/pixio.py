@@ -15,7 +15,7 @@ from flax import nnx
 
 from uniception_tpu.models.encoders.base import UniCeptionViTEncoderBase, ViTEncoderInput, ViTEncoderOutput
 from uniception_tpu.nn.blocks import SelfAttentionBlock, layer_norm_factory
-from uniception_tpu.nn.common import trunc_normal
+from uniception_tpu.nn.common import trunc_normal, remat_call
 from uniception_tpu.ops.resize import interpolate
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
@@ -127,7 +127,7 @@ class PixioEncoder(UniCeptionViTEncoderBase):
 
         for blk in self.blocks:
             if self.gradient_checkpointing:
-                x = nnx.remat(type(blk).__call__)(blk, x)
+                x = remat_call(blk, x)
             else:
                 x = blk(x)
         x = self.norm(x)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from uniception_tpu.models.encoders.base import UniCeptionViTEncoderBase, ViTEncoderInput, ViTEncoderOutput
+from uniception_tpu.models.encoders.eradio import ERadio
 from uniception_tpu.models.encoders.vit import DinoVisionTransformer
 from uniception_tpu.models.utils.intermediate_feature_return import (
     IntermediateFeatureReturner,
@@ -70,29 +71,33 @@ class RADIOEncoder(UniCeptionViTEncoderBase):
             assert patch_size == 16, "Patch size must be 16 for all other versions of RADIO"
 
         if "e-radio" in model_version:
-            raise NotImplementedError(
-                "E-RADIO (hybrid conv-transformer) is not yet implemented in the TPU port; "
-                "use a radio_v2.5-* ViT variant."
+            # hybrid conv + windowed-attention trunk; the window size is a
+            # static compile constant, so the input shape is required up
+            # front exactly like the reference (radio.py:95-98)
+            assert eradio_input_shape is not None, "Input shape (height, width) must be provided for E-RADIO models"
+            self.model = ERadio(model_version=model_version, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+            self.model.set_optimal_window_size(eradio_input_shape)
+            self.is_eradio = True
+        else:
+            self.is_eradio = False
+            cfg = _RADIO_CONFIGS[model_version]
+            self.model = DinoVisionTransformer(
+                img_size=patch_size * 37,  # RADIO CPE trained at 37x37 patch grid
+                patch_size=patch_size,
+                embed_dim=cfg["embed_dim"],
+                depth=cfg["depth"],
+                num_heads=cfg["num_heads"],
+                init_values=None,  # timm ViT: no LayerScale
+                num_register_tokens=num_register_tokens,
+                ffn_layer="mlp",
+                dtype=dtype,
+                param_dtype=param_dtype,
+                rngs=rngs,
             )
 
-        cfg = _RADIO_CONFIGS[model_version]
-        self.model = DinoVisionTransformer(
-            img_size=patch_size * 37,  # RADIO CPE trained at 37x37 patch grid
-            patch_size=patch_size,
-            embed_dim=cfg["embed_dim"],
-            depth=cfg["depth"],
-            num_heads=cfg["num_heads"],
-            init_values=None,  # timm ViT: no LayerScale
-            num_register_tokens=num_register_tokens,
-            ffn_layer="mlp",
-            dtype=dtype,
-            param_dtype=param_dtype,
-            rngs=rngs,
-        )
-
-        if keep_first_n_layers is not None:
-            self.model.blocks = nnx.List(list(self.model.blocks)[:keep_first_n_layers])
-            self.model.depth = keep_first_n_layers
+            if keep_first_n_layers is not None:
+                self.model.blocks = nnx.List(list(self.model.blocks)[:keep_first_n_layers])
+                self.model.depth = keep_first_n_layers
 
         if pretrained_checkpoint_path is not None:
             print(f"Loading custom pretrained RADIO checkpoint from {pretrained_checkpoint_path}")
@@ -114,6 +119,9 @@ class RADIOEncoder(UniCeptionViTEncoderBase):
     def __call__(self, encoder_input: ViTEncoderInput) -> ViTEncoderOutput:
         self._check_data_normalization_type(encoder_input.data_norm_type)
         height, width = self._check_image(encoder_input.image)
+        if self.is_eradio:
+            _, tokens = self.model(encoder_input.image)
+            return ViTEncoderOutput(features=self._patch_to_bchw(tokens, height, width))
         result = self.model.forward_features(encoder_input.image)
         return ViTEncoderOutput(features=self._patch_to_bchw(result["x_norm_patchtokens"], height, width))
 

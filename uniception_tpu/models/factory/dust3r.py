@@ -90,6 +90,7 @@ class DUSt3R(nnx.Module):
         info_sharing_dim: int = 768,
         info_sharing_depth: int = 12,
         info_sharing_num_heads: int = 12,
+        gradient_checkpointing: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -125,6 +126,7 @@ class DUSt3R(nnx.Module):
             enc_num_heads=enc_num_heads,
             pretrained_checkpoint_path=pretrained_encoder_checkpoint_path,
             override_checkpoint_attributes=override_encoder_checkpoint_attributes,
+            gradient_checkpointing=gradient_checkpointing,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
@@ -139,6 +141,7 @@ class DUSt3R(nnx.Module):
                 depth=info_sharing_depth,
                 num_heads=info_sharing_num_heads,
                 custom_positional_encoding=self.rope,
+                gradient_checkpointing=gradient_checkpointing,
                 pretrained_checkpoint_path=pretrained_info_sharing_checkpoint_path,
                 dtype=dtype,
                 param_dtype=param_dtype,
@@ -155,6 +158,7 @@ class DUSt3R(nnx.Module):
                 indices=[5, 8],
                 norm_intermediate=False,
                 custom_positional_encoding=self.rope,
+                gradient_checkpointing=gradient_checkpointing,
                 pretrained_checkpoint_path=pretrained_info_sharing_checkpoint_path,
                 dtype=dtype,
                 param_dtype=param_dtype,

@@ -30,7 +30,7 @@ from uniception_tpu.models.utils.intermediate_feature_return import (
 )
 from uniception_tpu.models.utils.positional_encoding import make_patch_positions
 from uniception_tpu.nn.blocks import CrossAttentionBlock, Mlp, layer_norm_factory
-from uniception_tpu.nn.common import Identity, LinearX
+from uniception_tpu.nn.common import Identity, LinearX, remat_call
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
 
@@ -152,7 +152,7 @@ class MultiViewCrossAttentionTransformer(UniCeptionInfoSharingBase):
 
     def _block_apply(self, blk, x, y, xpos, ypos):
         if self.gradient_checkpointing:
-            return nnx.remat(type(blk).__call__)(blk, x, y, xpos, ypos)
+            return remat_call(blk, x, y, xpos, ypos)
         return blk(x, y, xpos, ypos)
 
     def _depth_step(self, depth_idx, tokens, positions):

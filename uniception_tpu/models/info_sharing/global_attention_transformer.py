@@ -40,7 +40,7 @@ from uniception_tpu.models.utils.intermediate_feature_return import (
 )
 from uniception_tpu.models.utils.positional_encoding import make_patch_positions
 from uniception_tpu.nn.blocks import Mlp, SelfAttentionBlock, layer_norm_factory
-from uniception_tpu.nn.common import Identity, LinearX
+from uniception_tpu.nn.common import Identity, LinearX, remat_call
 from uniception_tpu.ops.rope import Rope2D
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
@@ -147,7 +147,7 @@ class _GlobalAttentionBase(UniCeptionInfoSharingBase):
 
     def _block_apply(self, blk, x, pos):
         if self.gradient_checkpointing:
-            return nnx.remat(type(blk).__call__)(blk, x, pos)
+            return remat_call(blk, x, pos)
         return blk(x, pos)
 
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-__all__ = ["Identity", "gelu_exact", "xavier_uniform", "trunc_normal", "LinearX"]
+__all__ = ["Identity", "gelu_exact", "xavier_uniform", "trunc_normal", "LinearX", "remat_call"]
 
 
 class Identity(nnx.Module):
@@ -64,3 +64,20 @@ def LinearX(
         bias_init=jax.nn.initializers.zeros,
         rngs=rngs,
     )
+
+
+def remat_call(blk: nnx.Module, *args):
+    """Apply a module under jax.checkpoint (gradient checkpointing).
+
+    TPU-native equivalent of the reference's class-swap gradient-checkpoint
+    wrapper (encoders/base.py:139-152): activations inside the block are
+    rematerialized in the backward pass instead of stored, trading FLOPs
+    for HBM. The module is split to a pure (graphdef, state) function so
+    checkpointing never mutates nnx state (RngCount) across trace levels.
+    """
+    graphdef, state = nnx.split(blk)
+
+    def fn(state, *inner):
+        return nnx.merge(graphdef, state)(*inner)
+
+    return jax.checkpoint(fn)(state, *args)

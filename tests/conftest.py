@@ -73,3 +73,32 @@ def _stub_missing_optional_deps():
         timm.layers = layers
         sys.modules["timm"] = timm
         sys.modules["timm.layers"] = layers
+
+    # reference libs/perception_encoder/transformer.py imports Meta-internal
+    # `core.probe` and `xformers`; stub the names it touches at import time.
+    try:
+        import core  # noqa: F401
+    except ImportError:
+        core = types.ModuleType("core")
+        probe = types.ModuleType("core.probe")
+        probe.log_stats = lambda x, name: x
+        core.probe = probe
+        sys.modules["core"] = core
+        sys.modules["core.probe"] = probe
+
+    try:
+        import xformers.ops  # noqa: F401
+    except ImportError:
+        xformers = types.ModuleType("xformers")
+        ops = types.ModuleType("xformers.ops")
+
+        class _AttentionBias:  # pragma: no cover - import stub only
+            pass
+
+        ops.AttentionBias = _AttentionBias
+        ops.fmha = types.SimpleNamespace(
+            memory_efficient_attention=lambda *a, **k: (_ for _ in ()).throw(RuntimeError("xformers stub"))
+        )
+        xformers.ops = ops
+        sys.modules["xformers"] = xformers
+        sys.modules["xformers.ops"] = ops

@@ -156,3 +156,47 @@ def test_pe_clip_parity():
     assert np.abs(t_img.numpy() - np.asarray(j_img)).max() < 5e-5
     assert np.abs(t_txt.numpy() - np.asarray(j_txt)).max() < 5e-5
     assert abs(float(t_scale) - float(j_scale)) < 1e-5
+
+
+@pytest.mark.parametrize("mask", [None, "causal"])
+@pytest.mark.parametrize("n_kv_heads", [4, 2])
+def test_pe_llama_transformer_parity(mask, n_kv_heads):
+    import torch
+    from uniception.models.libs.perception_encoder.transformer import BaseTransformer as TBase
+    from uniception.models.libs.perception_encoder.transformer import BaseTransformerArgs as TArgs
+
+    from uniception_tpu.models.libs.perception_encoder.transformer import BaseTransformer, BaseTransformerArgs
+
+    kw = dict(dim=64, n_layers=2, n_heads=4, n_kv_heads=n_kv_heads, max_seqlen=16, multiple_of=8)
+    torch.manual_seed(0)
+    t_mod = TBase(TArgs(**kw))
+    t_mod.init_weights()  # materializes the rotary buffer + param init
+    t_mod.eval()
+    j_mod = BaseTransformer(BaseTransformerArgs(**kw), rngs=nnx.Rngs(0))
+    sd = {k: v.detach().numpy() for k, v in t_mod.state_dict().items()}
+    missing, _ = load_torch_state_dict(j_mod, sd, strict=True)
+    assert not missing
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 64).astype(np.float32)
+    with torch.no_grad():
+        t_out = t_mod(torch.from_numpy(x), mask=mask).numpy()
+    j_out = np.asarray(j_mod(jnp.asarray(x), mask=mask))
+    assert t_out.shape == j_out.shape
+    err = np.abs(t_out - j_out).max()
+    assert err < 5e-5, f"mask={mask} kv={n_kv_heads}: {err}"
+
+
+def test_pe_llama_rope_long_context_scaling():
+    import torch
+    from uniception.models.libs.perception_encoder.transformer import RotaryEmbedding as TRope
+
+    from uniception_tpu.models.libs.perception_encoder.transformer import RotaryEmbedding
+
+    t_rope = TRope(theta=10000.0, head_dim=32, max_seqlen=64, scale_factor=8, low_freq_factor=1, high_freq_factor=4, old_context_len=128)
+    t_rope.reset_parameters()
+    t_fc = t_rope(seqlen=64).numpy()  # (S, D/2, 2, 2)
+    j_rope = RotaryEmbedding(theta=10000.0, head_dim=32, max_seqlen=64, scale_factor=8, low_freq_factor=1, high_freq_factor=4, old_context_len=128)
+    cos, sin = j_rope(seqlen=64)
+    assert np.abs(t_fc[..., 0, 0] - np.asarray(cos)).max() < 1e-5
+    assert np.abs(t_fc[..., 1, 0] - np.asarray(sin)).max() < 1e-5

@@ -66,7 +66,7 @@ def LinearX(
     )
 
 
-def remat_call(blk: nnx.Module, *args):
+def remat_call(blk: nnx.Module, *args, policy=None):
     """Apply a module under jax.checkpoint (gradient checkpointing).
 
     TPU-native equivalent of the reference's class-swap gradient-checkpoint
@@ -74,10 +74,20 @@ def remat_call(blk: nnx.Module, *args):
     rematerialized in the backward pass instead of stored, trading FLOPs
     for HBM. The module is split to a pure (graphdef, state) function so
     checkpointing never mutates nnx state (RngCount) across trace levels.
+
+    policy: optional jax.checkpoint_policies.* for selective remat (e.g.
+    dots_with_no_batch_dims_saveable keeps matmul outputs and only
+    recomputes the cheap elementwise tail — usually the best HBM/FLOPs
+    trade on TPU). Set UNICEPTION_TPU_REMAT_POLICY=dots to make it the
+    default for remat-enabled models.
     """
+    import os
+
+    if policy is None and os.environ.get("UNICEPTION_TPU_REMAT_POLICY") == "dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     graphdef, state = nnx.split(blk)
 
     def fn(state, *inner):
         return nnx.merge(graphdef, state)(*inner)
 
-    return jax.checkpoint(fn)(state, *args)
+    return jax.checkpoint(fn, policy=policy)(state, *args)

@@ -38,3 +38,45 @@ def test_normalize_batch():
     assert out.shape == (2, 3, 8, 8)
     # dust3r norm: (x - 0.5) / 0.5 -> 127/255*2-1 ~ -0.004
     assert abs(out.mean() - (127 / 255 * 2 - 1)) < 1e-5
+
+
+def test_native_preprocess_matches_numpy():
+    from uniception_tpu.models.encoders.image_normalizations import normalize_image
+    from uniception_tpu.native import load_preprocess
+
+    lib = load_preprocess()
+    if lib is None:
+        pytest.skip("no C++ compiler available")
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(3, 17, 23, 3), dtype=np.uint8)
+    native = normalize_batch(imgs, "croco")
+    ref = normalize_image(imgs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0, "croco")
+    assert native.shape == (3, 3, 17, 23)
+    np.testing.assert_allclose(native, np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_native_preprocess_speed():
+    "Native path must not be slower than numpy (sanity, generous margin)."
+    import time
+
+    from uniception_tpu.native import load_preprocess
+
+    if load_preprocess() is None:
+        pytest.skip("no C++ compiler available")
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(8, 512, 512, 3), dtype=np.uint8)
+    normalize_batch(imgs, "dust3r")  # warm (compiles lib on first call)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        normalize_batch(imgs, "dust3r")
+    native_t = time.perf_counter() - t0
+
+    from uniception_tpu.models.encoders.image_normalizations import normalize_image
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        normalize_image(imgs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0, "dust3r").astype(np.float32)
+    numpy_t = time.perf_counter() - t0
+    print(f"native {native_t*200:.1f}ms/batch numpy {numpy_t*200:.1f}ms/batch")
+    assert native_t < numpy_t * 1.5

@@ -62,7 +62,34 @@ def prefetch_to_device(
 
 
 def normalize_batch(images_uint8: np.ndarray, data_norm_type: str) -> np.ndarray:
-    "uint8 (B, H, W, 3) -> normalized float32 (B, 3, H, W) for the encoder type."
+    """uint8 (B, H, W, 3) -> normalized float32 (B, 3, H, W) for the encoder type.
+
+    Uses the native single-pass C++ kernel when available (one fused
+    convert+normalize+transpose write instead of numpy's four passes /
+    three temporaries); falls back to numpy otherwise.
+    """
+    from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT
+    from uniception_tpu.native import load_preprocess
+
+    lib = load_preprocess()
+    if lib is not None and images_uint8.dtype == np.uint8 and images_uint8.ndim == 4 and images_uint8.shape[-1] == 3:
+        import ctypes
+
+        norm = IMAGE_NORMALIZATION_DICT[data_norm_type]
+        # y = byte * scale + bias  ==  ((byte / 255) - mean) / std
+        scale = (1.0 / (255.0 * norm.std)).astype(np.float32)
+        bias = (-norm.mean / norm.std).astype(np.float32)
+        src = np.ascontiguousarray(images_uint8)
+        B, H, W, _ = src.shape
+        dst = np.empty((B, 3, H, W), np.float32)
+        lib.normalize_u8_hwc_to_f32_chw(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            B, H, W,
+            scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            bias.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return dst
     x = images_uint8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
     return normalize_image(x, data_norm_type).astype(np.float32)
 

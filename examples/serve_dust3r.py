@@ -1,0 +1,123 @@
+"""
+End-to-end DUSt3R serving loop: native host preprocessing -> double-buffered
+device staging -> jitted two-view inference.
+
+Demonstrates the production input path (SURVEY.md §2.8 — the reference has
+no loader; this is the TPU-serving equivalent):
+
+    uint8 frames (B, H, W, 3)
+      -> uniception_tpu.data.normalize_batch     (C++ fused pass, host)
+      -> prefetch_to_device                      (async DMA, 2 deep)
+      -> DUSt3R.forward_pair under jit           (bf16 trunk, Pallas attention)
+
+Usage:
+    python examples/serve_dust3r.py                      # synthetic frames
+    python examples/serve_dust3r.py --img-size 224 --batch 2 --pairs 8
+    python examples/serve_dust3r.py --checkpoint ckpt.pth --image-dir frames/
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--batch", type=int, default=2, help="pairs per device batch")
+    p.add_argument("--pairs", type=int, default=8, help="total pairs to run")
+    p.add_argument("--checkpoint", default=None, help="UniCeption-format DUSt3R .pth/.npz")
+    p.add_argument("--image-dir", default=None, help="directory of frames; consecutive frames are paired")
+    p.add_argument("--head", default="linear", choices=["linear", "dpt"])
+    p.add_argument("--enc-depth", type=int, default=24)
+    p.add_argument("--enc-dim", type=int, default=1024)
+    p.add_argument("--enc-heads", type=int, default=16)
+    return p.parse_args()
+
+
+def load_frames(args):
+    "Returns uint8 (N, H, W, 3)."
+    if args.image_dir:
+        from PIL import Image
+
+        files = sorted(
+            os.path.join(args.image_dir, f)
+            for f in os.listdir(args.image_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        frames = [
+            np.asarray(Image.open(f).convert("RGB").resize((args.img_size, args.img_size)))
+            for f in files
+        ]
+        return np.stack(frames)
+    rng = np.random.RandomState(0)
+    return rng.randint(0, 256, size=(2 * args.pairs, args.img_size, args.img_size, 3), dtype=np.uint8)
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.data.pipeline import prefetch_to_device, normalize_batch
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.models.utils.config import set_attention_impl
+
+    set_attention_impl("pallas")
+    model = DUSt3R(
+        name="dust3r_serve",
+        img_size=(args.img_size, args.img_size),
+        patch_embed_cls="ManyAR_PatchEmbed",
+        pred_head_type=args.head,
+        pretrained_checkpoint_path=args.checkpoint,
+        enc_embed_dim=args.enc_dim,
+        enc_depth=args.enc_depth,
+        enc_num_heads=args.enc_heads,
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(0),
+    )
+    graphdef, state = nnx.split(model)
+    state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+
+    @jax.jit
+    def infer(state, img1, img2, ts):
+        m = nnx.merge(graphdef, state)
+        r1, r2 = m.forward_pair(img1, img2, true_shape1=ts, true_shape2=ts)
+        return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
+
+    frames = load_frames(args)
+    n_pairs = len(frames) // 2
+    ts = jnp.broadcast_to(jnp.asarray([args.img_size, args.img_size], jnp.int32), (args.batch, 2))
+
+    def host_batches():
+        for i in range(0, n_pairs - (n_pairs % args.batch), args.batch):
+            a = frames[2 * i : 2 * (i + args.batch) : 2]
+            b = frames[2 * i + 1 : 2 * (i + args.batch) : 2]
+            yield {
+                "img1": normalize_batch(a, "dust3r"),  # C++ fused pass
+                "img2": normalize_batch(b, "dust3r"),
+            }
+
+    # warm-up compile
+    first = next(iter(host_batches()))
+    jax.block_until_ready(infer(state, jnp.asarray(first["img1"]), jnp.asarray(first["img2"]), ts))
+
+    t0 = time.perf_counter()
+    done = 0
+    for batch in prefetch_to_device(host_batches()):
+        out = infer(state, batch["img1"], batch["img2"], ts)
+        done += args.batch
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f"{done} pairs in {dt:.2f}s = {done / dt:.2f} pairs/s (incl. host preprocessing + staging)")
+    print("pts3d:", out[0].shape, "conf:", out[1].shape)
+
+
+if __name__ == "__main__":
+    main()

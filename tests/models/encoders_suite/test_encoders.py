@@ -34,6 +34,7 @@ ENCODER_TEST_CONFIGS = {
     "dinov3_convnext": dict(name="dinov3_cnx", data_norm_type="dinov3", size="tiny"),
     "dune": dict(name="dune", data_norm_type="dune", vit_size="small", keep_first_n_layers=2),
     "radio": dict(name="radio", data_norm_type="radio", model_version="radio_v2.5-b", keep_first_n_layers=2),
+    "eradio": dict(_encoder="radio", name="eradio", data_norm_type="radio", model_version="e-radio_v2", eradio_input_shape=(224, 224)),
     "perception_encoder": dict(
         name="pe", data_norm_type="perception_encoder", size="base", patch_size=16, checkpoint_type="core",
         keep_first_n_layers=-11,  # PE truncate semantics: keep through layer_idx

@@ -1,14 +1,20 @@
 """
-End-to-end DUSt3R serving loop: native host preprocessing -> double-buffered
-device staging -> jitted two-view inference.
+End-to-end DUSt3R serving loop: uint8 staging -> on-device normalization ->
+jitted two-view inference.
 
 Demonstrates the production input path (SURVEY.md §2.8 — the reference has
 no loader; this is the TPU-serving equivalent):
 
     uint8 frames (B, H, W, 3)
-      -> uniception_tpu.data.normalize_batch     (C++ fused pass, host)
-      -> prefetch_to_device                      (async DMA, 2 deep)
-      -> DUSt3R.forward_pair under jit           (bf16 trunk, Pallas attention)
+      -> prefetch_to_device                  (async DMA, 2 deep, uint8 = 4x
+                                              fewer link bytes than f32)
+      -> normalize + transpose on device     (VPU, fused into the jit)
+      -> DUSt3R.forward_pair                 (bf16 trunk, Pallas attention)
+
+For hosts co-located with the chips, `uniception_tpu.data.normalize_batch`
+(single-pass C++) is the host-side alternative — preprocess there when the
+host is idle and the PCIe link is wide; normalize on device when frames
+arrive over a narrow link (this environment's axon tunnel, or DCN).
 
 Usage:
     python examples/serve_dust3r.py                      # synthetic frames
@@ -65,7 +71,7 @@ def main():
     import jax.numpy as jnp
     from flax import nnx
 
-    from uniception_tpu.data.pipeline import prefetch_to_device, normalize_batch
+    from uniception_tpu.data.pipeline import prefetch_to_device
     from uniception_tpu.models.factory.dust3r import DUSt3R
     from uniception_tpu.models.utils.config import set_attention_impl
 
@@ -85,10 +91,23 @@ def main():
     graphdef, state = nnx.split(model)
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
 
+    from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT
+
+    norm = IMAGE_NORMALIZATION_DICT["dust3r"]
+    mean = jnp.asarray(norm.mean).reshape(1, 3, 1, 1)
+    std = jnp.asarray(norm.std).reshape(1, 3, 1, 1)
+
     @jax.jit
-    def infer(state, img1, img2, ts):
+    def infer(state, img1_u8, img2_u8, ts):
         m = nnx.merge(graphdef, state)
-        r1, r2 = m.forward_pair(img1, img2, true_shape1=ts, true_shape2=ts)
+
+        def prep(u8):
+            # normalize on device: the host->device link carries uint8 HWC
+            # (4x fewer bytes than f32) and the cast/normalize rides the VPU
+            x = jnp.transpose(u8, (0, 3, 1, 2)).astype(jnp.float32) / 255.0
+            return (x - mean) / std
+
+        r1, r2 = m.forward_pair(prep(img1_u8), prep(img2_u8), true_shape1=ts, true_shape2=ts)
         return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
 
     frames = load_frames(args)
@@ -97,11 +116,9 @@ def main():
 
     def host_batches():
         for i in range(0, n_pairs - (n_pairs % args.batch), args.batch):
-            a = frames[2 * i : 2 * (i + args.batch) : 2]
-            b = frames[2 * i + 1 : 2 * (i + args.batch) : 2]
             yield {
-                "img1": normalize_batch(a, "dust3r"),  # C++ fused pass
-                "img2": normalize_batch(b, "dust3r"),
+                "img1": frames[2 * i : 2 * (i + args.batch) : 2],
+                "img2": frames[2 * i + 1 : 2 * (i + args.batch) : 2],
             }
 
     # warm-up compile

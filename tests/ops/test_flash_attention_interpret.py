@@ -1,0 +1,53 @@
+"""
+Pallas flash-attention kernel logic on CPU via interpret mode — covers the
+single-k-step and multi-k-step forward kernels and the Pallas backward
+kernels without TPU hardware (the real-chip run is
+tests/ops/test_flash_attention_tpu.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("UNICEPTION_TPU_PALLAS_INTERPRET", "1")
+
+
+def _naive(q, k, v):
+    d = q.shape[-1]
+    s = np.einsum("bnhd,bmhd->bhnm", q, k) * d**-0.5
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhnm,bmhd->bnhd", p, v)
+
+
+@pytest.mark.parametrize("n,block_k", [(32, 1024), (48, 16), (40, 16)])  # single-step, multi-step, masked multi-step
+def test_interpret_forward(n, block_k):
+    from uniception_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    q, k, v = (rng.randn(2, n, 2, 64).astype(np.float32) for _ in range(3))
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), None, 16, block_k)
+    assert np.abs(np.asarray(out) - _naive(q, k, v)).max() < 1e-5
+
+
+def test_interpret_backward():
+    from uniception_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(1)
+    q, k, v = (jnp.asarray(rng.randn(1, 32, 2, 64).astype(np.float32)) for _ in range(3))
+
+    def loss_pallas(q, k, v):
+        return (flash_attention(q, k, v, None, 16, 16) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (jax.nn.dot_product_attention(q, k, v) ** 2).sum()
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

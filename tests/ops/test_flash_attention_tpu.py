@@ -30,7 +30,7 @@ def _f64_grads(q, k, v, D):
     return o, dq, dk, dv
 
 
-@pytest.mark.parametrize("n", [64, 196, 1024])
+@pytest.mark.parametrize("n", [64, 196, 1024, 2048])  # 2048 exercises the multi-k-step kernel
 def test_flash_attention_fwd_bwd_vs_f64(n):
     from uniception_tpu.ops.flash_attention import flash_attention
 

@@ -125,3 +125,21 @@ def test_dinov2_structural():
     )
     outs = ifr(ViTEncoderInput(image=img, data_norm_type="dinov2"))
     assert len(outs) == 2 and all(o.features.shape == (2, 384, 4, 5) for o in outs)
+
+
+def test_make_encoder_test_configs():
+    "Canonical test-factory strings construct offline (no checkpoints present)."
+    from flax import nnx
+
+    from uniception_tpu.models.encoders import _make_encoder_test
+
+    e = _make_encoder_test("dummy")
+    assert e.name == "dummy"
+    enc = _make_encoder_test("croco", rngs=nnx.Rngs(0), enc_embed_dim=64, enc_depth=1, enc_num_heads=4)
+    assert type(enc).__name__ == "CroCoEncoder"
+    pe = _make_encoder_test("patch_embedder", rngs=nnx.Rngs(0))
+    assert pe.name == "patch_embedder"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _make_encoder_test("not_an_encoder")

@@ -195,3 +195,22 @@ class CroCoIntermediateFeatureReturner(CroCoEncoder, IntermediateFeatureReturner
         features = self.enc_norm(features)
         final = ViTEncoderOutput(features=self._to_bchw(features, height, width))
         return final, intermediates
+
+
+if __name__ == "__main__":
+    # smoke asserts (reference croco.py:330-457 style): ctor + forward + IFR
+    import numpy as np
+
+    from uniception_tpu.models.encoders.base import ViTEncoderInput
+
+    enc = CroCoEncoder(name="croco", data_norm_type="croco", enc_embed_dim=64, enc_depth=2, enc_num_heads=4, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32))
+    out = enc(ViTEncoderInput(image=x, data_norm_type="croco"))
+    assert out.features.shape == (1, 64, 14, 14), out.features.shape
+
+    ifr = CroCoIntermediateFeatureReturner(
+        name="croco", data_norm_type="croco", enc_embed_dim=64, enc_depth=2, enc_num_heads=4, indices=[0, 1], rngs=nnx.Rngs(0)
+    )
+    feats = ifr(ViTEncoderInput(image=x, data_norm_type="croco"))
+    assert len(feats) == 2 and feats[0].features.shape == (1, 64, 14, 14)
+    print("croco encoder smoke: OK")

@@ -132,3 +132,16 @@ class MultiViewAlternatingAttentionTransformerIFR(MultiViewAlternatingAttentionT
         if self.intermediates_only:
             return intermediates
         return self._split_output(self.norm(tokens), meta), intermediates
+
+
+if __name__ == "__main__":
+    # frame-reshape unit check (reference alternating_attention_transformer.py:998-...)
+    import numpy as np
+
+    B, V, T, C = 2, 3, 5, 8
+    x = jnp.asarray(np.random.RandomState(0).randn(B, V * T, C).astype(np.float32))
+    framed = reshape_for_frame_attention(x, V, T, C)
+    assert framed.shape == (B * V, T, C)
+    back = reshape_from_frame_attention(framed, B, V, T, C)
+    assert np.allclose(np.asarray(back), np.asarray(x))
+    print("alternating-attention frame reshape smoke: OK")

@@ -231,3 +231,17 @@ class MultiViewCrossAttentionTransformerIFR(MultiViewCrossAttentionTransformer, 
 
         out = MultiViewTransformerOutput(features=[self._to_bchw(self.norm(t), b, h, w) for t in tokens])
         return out, intermediates
+
+
+if __name__ == "__main__":
+    # smoke asserts over 2/3/4 views (reference cross_attention_transformer.py:515-609)
+    import numpy as np
+
+    for n_views in (2, 3, 4):
+        model = MultiViewCrossAttentionTransformer(
+            name="smoke", input_embed_dim=32, num_views=n_views, dim=32, depth=2, num_heads=2, rngs=nnx.Rngs(0)
+        )
+        feats = [jnp.asarray(np.random.RandomState(v).randn(1, 32, 4, 4).astype(np.float32)) for v in range(n_views)]
+        out = model(MultiViewTransformerInput(features=feats))
+        assert len(out.features) == n_views and out.features[0].shape == (1, 32, 4, 4)
+    print("multi-view cross-attention smoke: OK")

@@ -131,3 +131,14 @@ class GlobalHead(_SummaryTrunk):
     def __call__(self, feature_input: PredictionHeadInput) -> SummaryTaskOutput:
         feat = self._trunk(feature_input.last_feature)
         return SummaryTaskOutput(decoded_channels=self.fc_output(feat))
+
+
+if __name__ == "__main__":
+    # smoke asserts (reference pose_head.py:160-181)
+    import numpy as np
+
+    head = PoseHead(patch_size=16, input_feature_dim=32, rngs=nnx.Rngs(0))
+    feat = jnp.asarray(np.random.RandomState(0).randn(2, 32, 7, 7).astype(np.float32))
+    out = head(PredictionHeadInput(last_feature=feat))
+    assert out.decoded_channels.shape == (2, 7), out.decoded_channels.shape  # 3 trans + 4 quat
+    print("pose head smoke: OK")

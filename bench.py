@@ -34,7 +34,7 @@ def main():
     set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
     set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))  # production activation
     IMG = int(os.environ.get("BENCH_IMG", "512"))
-    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # sweep: b2=57.6, b3=56.8, b4=56.1, b8=51.9 pairs/s
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
     model = DUSt3R(

@@ -26,7 +26,15 @@ from uniception_tpu.utils.checkpoint import load_checkpoint, save_checkpoint  # 
 
 
 def remap_vanilla_dust3r(state):
-    "Vanilla DUSt3R/MASt3R state dict -> UniCeption-TPU DUSt3R keys."
+    """Vanilla DUSt3R/MASt3R state dict -> UniCeption-TPU DUSt3R keys.
+
+    Shared-decoder checkpoints (no dec_blocks2) get the decoder duplicated
+    into the second view branch, mirroring the reference converter
+    (examples/models/dust3r/convert_dust3r_weights_to_uniception.py:29-34).
+    """
+    if not any(k.startswith("dec_blocks2") for k in state):
+        dup = {k.replace("dec_blocks", "dec_blocks2", 1): v for k, v in state.items() if k.startswith("dec_blocks.")}
+        state = {**state, **dup}
     out = {}
     for k, v in state.items():
         nk = k

@@ -34,7 +34,7 @@ def main():
     set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
     set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))
     IMG = int(os.environ.get("BENCH_IMG", "512"))
-    BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # fastest measured: b2 no-remat 11.9 pairs/s
     ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 
     model = DUSt3R(
@@ -42,7 +42,7 @@ def main():
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type="linear",
-        gradient_checkpointing=os.environ.get("BENCH_REMAT", "1") == "1",
+        gradient_checkpointing=os.environ.get("BENCH_REMAT", "0") == "1",
         dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
         rngs=nnx.Rngs(0),
     )

@@ -313,3 +313,20 @@ class DPTFeatureDoubleUpsampling(nnx.Module):
             features_upsampled_8x=_to_bchw(feature_upsampled_2x),
             target_output_shape=dpt_input.target_output_shape,
         )
+
+
+if __name__ == "__main__":
+    # smoke asserts (reference dpt.py:576-676 style, shape checks only — the
+    # fwd/bwd benchmark equivalent is scripts/bench_train.py)
+    import numpy as np
+    from flax import nnx
+
+    from uniception_tpu.models.prediction_heads.base import PredictionHeadLayeredInput
+
+    head = DPTFeature(patch_size=16, hooks=[0, 1, 2, 3], input_feature_dims=[32, 32, 32, 32], layer_dims=[16, 24, 32, 48],
+                      feature_dim=24, rngs=nnx.Rngs(0))
+    feats = [jnp.asarray(np.random.RandomState(i).randn(1, 32, 4, 4).astype(np.float32)) for i in range(4)]
+    out = head(PredictionHeadLayeredInput(list_features=feats, target_output_shape=None))
+    # 4x4 patch grid -> 8x upsampled feature map at feature_dim channels
+    assert out.features_upsampled_8x.shape == (1, 24, 32, 32), out.features_upsampled_8x.shape
+    print("dpt feature smoke: OK", out.features_upsampled_8x.shape)

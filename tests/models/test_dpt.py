@@ -174,3 +174,29 @@ def test_dpt_output_adapter_parity(head_type):
     assert t_out.shape == j_out.shape
     err = np.abs(t_out - j_out).max()
     assert err < 2e-4, f"{head_type} err {err}"
+
+
+def test_dpt_feature_checkpoint_gradient_matches():
+    "checkpoint_gradient must not change outputs or grads."
+    import jax
+
+    from uniception_tpu.models.prediction_heads.dpt import DPTFeature
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(1, 32, 4, 4).astype(np.float32)) for _ in range(4)]
+    cfg = dict(patch_size=16, hooks=[0, 1, 2, 3], input_feature_dims=[32] * 4, layer_dims=[16, 24, 32, 48], feature_dim=24)
+
+    def run(ckpt):
+        head = DPTFeature(checkpoint_gradient=ckpt, rngs=nnx.Rngs(0), **cfg)
+        graphdef, state = nnx.split(head)
+
+        def loss(state):
+            out = nnx.merge(graphdef, state)(PredictionHeadLayeredInput(list_features=feats, target_output_shape=None))
+            return (out.features_upsampled_8x ** 2).mean()
+
+        return jax.value_and_grad(loss)(state)
+
+    (l0, g0), (l1, g1) = run(False), run(True)
+    assert abs(float(l0) - float(l1)) < 1e-7
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)

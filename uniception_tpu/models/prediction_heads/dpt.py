@@ -139,10 +139,20 @@ class DPTFeature(nnx.Module):
         layers = [self.input_process[idx](layer) for idx, layer in enumerate(layers)]
 
         # fuse coarse-to-fine; crop refinenet4's 2x output to layer3's size
-        path_4 = self.scratch.refinenet4(layers[3])[:, : layers[2].shape[1], : layers[2].shape[2], :]
-        path_3 = self.scratch.refinenet3(path_4, layers[2])
-        path_2 = self.scratch.refinenet2(path_3, layers[1])
-        feature_upsampled_8x = self.scratch.refinenet1(path_2, layers[0])
+        # (reference dpt.py:203-228 wraps the fusion stages in
+        # torch.utils.checkpoint when checkpoint_gradient is set)
+        if self.checkpoint_gradient:
+            from uniception_tpu.nn.common import remat_call
+
+            path_4 = remat_call(self.scratch.refinenet4, layers[3])[:, : layers[2].shape[1], : layers[2].shape[2], :]
+            path_3 = remat_call(self.scratch.refinenet3, path_4, layers[2])
+            path_2 = remat_call(self.scratch.refinenet2, path_3, layers[1])
+            feature_upsampled_8x = remat_call(self.scratch.refinenet1, path_2, layers[0])
+        else:
+            path_4 = self.scratch.refinenet4(layers[3])[:, : layers[2].shape[1], : layers[2].shape[2], :]
+            path_3 = self.scratch.refinenet3(path_4, layers[2])
+            path_2 = self.scratch.refinenet2(path_3, layers[1])
+            feature_upsampled_8x = self.scratch.refinenet1(path_2, layers[0])
 
         return DPTFeatureInput(
             features_upsampled_8x=_to_bchw(feature_upsampled_8x),

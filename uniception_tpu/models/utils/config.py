@@ -26,10 +26,13 @@ __all__ = [
 
 _VALID_IMPLS = ("xla", "pallas", "naive")
 
-_ATTN_IMPL = os.environ.get("UNICEPTION_TPU_ATTN", "xla")
+# default to the Pallas kernel: the dispatch falls back to XLA off-TPU
+# automatically (ops/attention.py), so this is the fast path on chip and
+# a no-op elsewhere
+_ATTN_IMPL = os.environ.get("UNICEPTION_TPU_ATTN", "pallas")
 if _ATTN_IMPL not in _VALID_IMPLS:
-    warnings.warn(f"Invalid UNICEPTION_TPU_ATTN={_ATTN_IMPL!r}; falling back to 'xla'")
-    _ATTN_IMPL = "xla"
+    warnings.warn(f"Invalid UNICEPTION_TPU_ATTN={_ATTN_IMPL!r}; falling back to 'pallas'")
+    _ATTN_IMPL = "pallas"
 
 
 def get_attention_impl() -> str:

@@ -139,8 +139,12 @@ class AdaptorMap(nnx.Module):
         self.adaptor_order = [adaptor.name for adaptor in adaptors]
         self.required_channels = sum(adaptor.required_channels for adaptor in adaptors)
 
-    def __call__(self, adaptor_input: AdaptorInput) -> Dict[str, AdaptorOutput]:
-        feats = adaptor_input.adaptor_feature
+    def __call__(self, adaptor_input) -> Dict[str, AdaptorOutput]:
+        # the reference map reads `.decoded_channels` off head outputs
+        # (base.py:203); accept either that or an AdaptorInput
+        feats = getattr(adaptor_input, "adaptor_feature", None)
+        if feats is None:
+            feats = adaptor_input.decoded_channels
         sizes = [self.adaptors[name].required_channels for name in self.adaptor_order]
         offsets = [0]
         for s in sizes:

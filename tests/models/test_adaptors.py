@@ -119,3 +119,47 @@ def test_adaptor_map_accepts_head_output():
     x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 4, 4).astype(np.float32))
     out = j_map(SimpleNamespace(decoded_channels=x))
     assert out["d"].value.shape == (1, 1, 4, 4)
+
+
+_RD = dict(ray_directions_mode="linear", ray_directions_normalize_to_unit_sphere=True,
+           ray_directions_normalize_to_unit_image_plane=False, ray_directions_vmin=-np.inf,
+           ray_directions_vmax=np.inf, ray_directions_clamp_min_of_z_dir=False, ray_directions_z_dir_min=1.0)
+COMPOSITE_CASES = [
+    ("PointMapWithConfidenceAdaptor",
+     dict(pointmap_mode="exp", pointmap_vmin=-np.inf, pointmap_vmax=np.inf,
+          confidence_type="exp", confidence_vmin=1.0, confidence_vmax=np.inf), 4),
+    ("RayDirectionsPlusDepthAdaptor",
+     dict(_RD, depth_mode="exp", depth_vmin=0.0, depth_vmax=np.inf), 4),
+    ("CamTranslationPlusQuatsAdaptor",
+     dict(cam_trans_mode="linear", cam_trans_vmin=-np.inf, cam_trans_vmax=np.inf,
+          quaternions_mode="linear", quaternions_normalize=True, quaternions_vmin=-np.inf,
+          quaternions_vmax=np.inf), 7),
+    ("RayMapAdaptor",
+     dict(_RD, ray_origins_mode="linear", ray_origins_vmin=-np.inf, ray_origins_vmax=np.inf), 6),
+    ("RayMapPlusDepthAdaptor",
+     dict(_RD, ray_origins_mode="linear", ray_origins_vmin=-np.inf, ray_origins_vmax=np.inf,
+          depth_mode="exp", depth_vmin=0.0, depth_vmax=np.inf), 7),
+]
+
+
+@pytest.mark.parametrize("cls_name,kwargs,channels", COMPOSITE_CASES, ids=[c for c, _, _ in COMPOSITE_CASES])
+def test_composite_adaptor_parity(cls_name, kwargs, channels):
+    import torch
+    import uniception.models.prediction_heads.adaptors as t_adaptors
+    from uniception.models.prediction_heads.base import AdaptorInput as TIn
+
+    import uniception_tpu.models.prediction_heads.adaptors as j_adaptors
+    from uniception_tpu.models.prediction_heads.base import AdaptorInput
+
+    try:
+        t_mod = getattr(t_adaptors, cls_name)(name="a", **kwargs)
+    except TypeError as e:
+        pytest.skip(f"reference ctor mismatch for {cls_name}: {e}")
+    j_mod = getattr(j_adaptors, cls_name)(name="a", **kwargs)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, channels, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        t_out = t_mod(TIn(adaptor_feature=torch.from_numpy(x), output_shape_hw=(8, 8)))
+    j_out = j_mod(AdaptorInput(adaptor_feature=jnp.asarray(x), output_shape_hw=(8, 8)))
+    _compare(t_out, j_out, cls_name)

@@ -48,10 +48,28 @@ def remap_vanilla_dust3r(state):
             nk = nk.replace("decoder_embed.", "info_sharing.proj_embed.")
         elif nk.startswith("dec_norm."):
             nk = nk.replace("dec_norm.", "info_sharing.norm.")
-        elif nk.startswith("downstream_head1.proj."):
-            nk = nk.replace("downstream_head1.proj.", "head1.linear.")
-        elif nk.startswith("downstream_head2.proj."):
-            nk = nk.replace("downstream_head2.proj.", "head2.linear.")
+        elif nk.startswith(("downstream_head1.proj.", "downstream_head2.proj.")):
+            head = nk[len("downstream_head")]
+            nk = f"head{head}." + nk.split(".proj.", 1)[1]
+            nk = nk.replace(f"head{head}.", f"head{head}.linear.", 1)
+            # Vanilla uses nn.Linear (out, in); our LinearFeature is a 1x1
+            # conv, so reshape to (out, in, 1, 1) — the reference converter
+            # does the same via linear_to_conv2d
+            # (examples/models/dust3r/convert_dust3r_weights_to_uniception.py:216).
+            if nk.endswith(".weight") and getattr(v, "ndim", 0) == 2:
+                v = v.reshape(v.shape[0], v.shape[1], 1, 1)
+        elif nk.startswith(("downstream_head1.dpt.", "downstream_head2.dpt.")):
+            head = nk[len("downstream_head")]
+            sub = nk.split(".dpt.", 1)[1]
+            # dpt.head.{0,2,4} is the regression processor
+            # (reference converter key_replace_dict, same file :95-103);
+            # everything else is the DPT feature pyramid.
+            reg_map = {"0": "conv1", "2": "conv2.0", "4": "conv2.2"}
+            if sub.startswith("head."):
+                idx, rest = sub[len("head.") :].split(".", 1)
+                nk = f"dpt_regressor_head{head}.{reg_map[idx]}.{rest}"
+            else:
+                nk = f"dpt_feature_head{head}.{sub}"
         elif nk.startswith("downstream_head1."):
             nk = nk.replace("downstream_head1.", "head1.")
         elif nk.startswith("downstream_head2."):

@@ -19,6 +19,8 @@ from uniception_tpu.models.prediction_heads.dpt import (
     DPTSegmentationProcessor,
 )
 from uniception_tpu.ops.resize import interpolate
+from uniception_tpu.models.prediction_heads.dpt import DPT_CHECKPOINT_ALIASES
+from uniception_tpu.nn.dpt_parts import DPT_ADAPTER_CHECKPOINT_ALIASES
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
 
 pytestmark = pytest.mark.skipif(not has_reference(), reason="torch reference not available")
@@ -57,7 +59,7 @@ def test_dpt_feature_parity():
     t = TDPT(**kwargs)
     t.eval()
     j = DPTFeature(rngs=nnx.Rngs(0), **kwargs)
-    missing, unexpected = load_torch_state_dict(j, _sd(t), strict=True)
+    missing, unexpected = load_torch_state_dict(j, _sd(t), strict=True, ignore=DPT_CHECKPOINT_ALIASES)
     assert not missing
 
     rng = np.random.RandomState(1)
@@ -80,7 +82,7 @@ def test_dpt_regression_processor_parity():
     t = TProc(input_feature_dim=32, output_dim=4)
     t.eval()
     j = DPTRegressionProcessor(input_feature_dim=32, output_dim=4, rngs=nnx.Rngs(0))
-    missing, unexpected = load_torch_state_dict(j, _sd(t), strict=True)
+    missing, unexpected = load_torch_state_dict(j, _sd(t), strict=True, ignore=DPT_CHECKPOINT_ALIASES)
     assert not missing and not unexpected
 
     rng = np.random.RandomState(2)
@@ -103,7 +105,7 @@ def test_dpt_segmentation_processor_parity():
     t = TProc(input_feature_dim=32, output_dim=2)
     t.eval()
     j = DPTSegmentationProcessor(input_feature_dim=32, output_dim=2, rngs=nnx.Rngs(0))
-    load_torch_state_dict(j, _sd(t), strict=True)
+    load_torch_state_dict(j, _sd(t), strict=True, ignore=DPT_CHECKPOINT_ALIASES)
 
     rng = np.random.RandomState(3)
     x = rng.randn(1, 32, 16, 16).astype(np.float32)
@@ -126,7 +128,7 @@ def test_dpt_double_upsampling_parity():
     t = TDPT(**kwargs)
     t.eval()
     j = DPTFeatureDoubleUpsampling(rngs=nnx.Rngs(0), **kwargs)
-    missing, _ = load_torch_state_dict(j, _sd(t), strict=True)
+    missing, _ = load_torch_state_dict(j, _sd(t), strict=True, ignore=DPT_CHECKPOINT_ALIASES)
     assert not missing
 
     rng = np.random.RandomState(4)
@@ -160,7 +162,7 @@ def test_dpt_output_adapter_parity(head_type):
     t_mod = TAdapter(**cfg)
     t_mod.eval()
     j_mod = DPTOutputAdapter(rngs=nnx.Rngs(0), **cfg)
-    missing, _ = load_torch_state_dict(j_mod, _sd(t_mod), strict=True)
+    missing, _ = load_torch_state_dict(j_mod, _sd(t_mod), strict=True, ignore=DPT_ADAPTER_CHECKPOINT_ALIASES)
     assert not missing
 
     # patch grid must be even and square-compatible: the reference's own

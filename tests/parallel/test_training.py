@@ -73,3 +73,45 @@ def test_gradient_checkpointing_matches_no_remat():
     assert abs(l0 - l1) < 1e-6
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_save_restore_continue_matches_uninterrupted(tmp_path):
+    """save -> restore -> continue must equal uninterrupted training: the
+    checkpoint round-trips params, optimizer moments AND the step counter
+    (a dropped opt_state would silently reset Adam and diverge here)."""
+    from uniception_tpu.parallel.training import restore_train_state, save_train_state
+
+    def data():
+        rng = np.random.RandomState(0)
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+        return mk(8, 3, 32, 32), mk(8, 3, 32, 32), mk(8, 32, 32, 3), mk(8, 32, 32, 3)
+
+    # uninterrupted: 4 steps
+    model = DUSt3R(name="ckpt_test", rngs=nnx.Rngs(0), **SMALL)
+    ctx, params, opt_state = make_train_step(model, learning_rate=1e-3, data=8)
+    img1, img2, t1, t2 = data()
+    with ctx.mesh:
+        img1, img2, t1, t2 = shard_batch((img1, img2, t1, t2), ctx.mesh)
+        for _ in range(4):
+            loss_ref, params, opt_state = ctx.step(params, opt_state, img1, img2, t1, t2)
+
+    # interrupted: 2 steps, save, restore into a FRESH model/optimizer, 2 more
+    model2 = DUSt3R(name="ckpt_test", rngs=nnx.Rngs(0), **SMALL)
+    ctx2, params2, opt_state2 = make_train_step(model2, learning_rate=1e-3, data=8)
+    with ctx2.mesh:
+        for _ in range(2):
+            _, params2, opt_state2 = ctx2.step(params2, opt_state2, img1, img2, t1, t2)
+    save_train_state(str(tmp_path / "ckpt"), params2, opt_state2, step=2)
+
+    model3 = DUSt3R(name="ckpt_test", rngs=nnx.Rngs(1), **SMALL)  # different init
+    ctx3, params3, opt_state3 = make_train_step(model3, learning_rate=1e-3, data=8)
+    params3, opt_state3, step = restore_train_state(str(tmp_path / "ckpt"), params3, opt_state3)
+    assert step == 2
+    assert opt_state3 is not None
+    with ctx3.mesh:
+        for _ in range(4 - step):
+            loss_resumed, params3, opt_state3 = ctx3.step(params3, opt_state3, img1, img2, t1, t2)
+
+    np.testing.assert_allclose(float(loss_resumed), float(loss_ref), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

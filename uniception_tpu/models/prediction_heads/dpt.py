@@ -34,7 +34,13 @@ from uniception_tpu.ops.resize import interpolate
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
 
-__all__ = ["DPTFeature", "DPTFeatureInput", "DPTRegressionProcessor", "DPTSegmentationProcessor", "DPTFeatureDoubleUpsampling"]
+__all__ = ["DPTFeature", "DPTFeatureInput", "DPTRegressionProcessor", "DPTSegmentationProcessor", "DPTFeatureDoubleUpsampling", "DPT_CHECKPOINT_ALIASES"]
+
+# The reference DPT registers the same scratch convs under three spellings
+# (input_process.{i}.1, scratch.layer{i}_rn, scratch.layer_rn.{i-1} — see
+# reference libs/croco/dpt_block.py:71 and prediction_heads/dpt.py); we
+# consume input_process.* and drop the aliases on load.
+DPT_CHECKPOINT_ALIASES = (r"scratch\.layer[1-4]_rn\.", r"scratch\.layer_rn\.")
 
 
 class DPTFeatureInput(struct.PyTreeNode):
@@ -126,7 +132,7 @@ class DPTFeature(nnx.Module):
         if pretrained_checkpoint_path is not None:
             print(f"Loading pretrained DPT dense feature head from {pretrained_checkpoint_path}")
             ckpt = load_checkpoint(pretrained_checkpoint_path)
-            load_torch_state_dict(self, ckpt["model"], strict=False)
+            load_torch_state_dict(self, ckpt["model"], strict=False, ignore=DPT_CHECKPOINT_ALIASES)
 
     def __call__(self, dpt_input: PredictionHeadLayeredInput) -> DPTFeatureInput:
         layered_feats = dpt_input.list_features
@@ -192,7 +198,7 @@ class DPTRegressionProcessor(nnx.Module):
         if pretrained_checkpoint_path is not None:
             print(f"Loading pretrained DPT regression processor from {pretrained_checkpoint_path}")
             ckpt = load_checkpoint(pretrained_checkpoint_path)
-            load_torch_state_dict(self, ckpt["model"], strict=False)
+            load_torch_state_dict(self, ckpt["model"], strict=False, ignore=DPT_CHECKPOINT_ALIASES)
 
     def __call__(self, dpt_processor_input: DPTFeatureInput) -> PixelTaskOutput:
         x = _to_nhwc(dpt_processor_input.features_upsampled_8x)
@@ -242,7 +248,7 @@ class DPTSegmentationProcessor(nnx.Module):
         if pretrained_checkpoint_path is not None:
             print(f"Loading pretrained DPT segmentation processor from {pretrained_checkpoint_path}")
             ckpt = load_checkpoint(pretrained_checkpoint_path)
-            load_torch_state_dict(self, ckpt["model"], strict=False)
+            load_torch_state_dict(self, ckpt["model"], strict=False, ignore=DPT_CHECKPOINT_ALIASES)
 
     def __call__(self, dpt_processor_input: DPTFeatureInput) -> PixelTaskOutput:
         x = _to_nhwc(dpt_processor_input.features_upsampled_8x)
@@ -306,7 +312,7 @@ class DPTFeatureDoubleUpsampling(nnx.Module):
         if pretrained_checkpoint_path is not None:
             print(f"Loading pretrained DPT dense feature head from {pretrained_checkpoint_path}")
             ckpt = load_checkpoint(pretrained_checkpoint_path)
-            load_torch_state_dict(self, ckpt["model"], strict=False)
+            load_torch_state_dict(self, ckpt["model"], strict=False, ignore=DPT_CHECKPOINT_ALIASES)
 
     def __call__(self, dpt_input: PredictionHeadLayeredInput) -> DPTFeatureInput:
         layered_feats = dpt_input.list_features

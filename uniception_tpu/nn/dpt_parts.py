@@ -33,6 +33,11 @@ __all__ = [
     "DPTOutputAdapter",
 ]
 
+# DPTOutputAdapter consumes scratch.layer{i}_rn and act_{i}_postprocess;
+# the reference torch module additionally aliases the same tensors under
+# scratch.layer_rn.{i-1} and act_postprocess.{i-1} (dpt_block.py:71,488).
+DPT_ADAPTER_CHECKPOINT_ALIASES = (r"scratch\.layer_rn\.", r"(^|\.)act_postprocess\.")
+
 
 def Conv2dTorch(cin, cout, kernel_size, stride=1, padding=0, bias=True, *, dtype=None, param_dtype=jnp.float32, rngs):
     "nnx.Conv over NHWC with torch Conv2d padding semantics."

@@ -101,19 +101,40 @@ def make_train_step(
 
 
 def save_train_state(path: str, params, opt_state=None, step: int = 0):
-    "Save params (+optimizer state) with Orbax."
+    """Save the full training state (params + optimizer state + step) with Orbax.
+
+    The pytrees are stored as flat leaf lists so arbitrary optimizer-state
+    structures (optax NamedTuples wrapping nnx.State) round-trip without
+    Orbax needing to understand them; :func:`restore_train_state` rebuilds
+    the structures from templates.
+    """
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    payload = {"params": nnx.to_pure_dict(params) if hasattr(nnx, "to_pure_dict") else params}
+    payload = {
+        "params": list(jax.tree.leaves(params)),
+        "opt_state": list(jax.tree.leaves(opt_state)) if opt_state is not None else [],
+        "step": jnp.asarray(step, jnp.int32),
+    }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
 
 
-def restore_train_state(path: str, params_template):
-    "Restore params saved by save_train_state into the template's structure."
+def restore_train_state(path: str, params_template, opt_state_template=None):
+    """Restore (params, opt_state, step) saved by :func:`save_train_state`.
+
+    Templates supply the pytree structure (and nnx.State/optax wrappers);
+    the restored leaves are placed into it. ``opt_state`` is None when no
+    optimizer state was saved or no template is given. Restored arrays are
+    unsharded — re-apply ``tp_shard_state``/``replicate_state`` for meshes.
+    """
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path)
-    return restored["params"]
+    params = jax.tree.unflatten(jax.tree.structure(params_template), restored["params"])
+    opt_state = None
+    if opt_state_template is not None and restored.get("opt_state"):
+        opt_state = jax.tree.unflatten(jax.tree.structure(opt_state_template), restored["opt_state"])
+    step = int(restored.get("step", 0))
+    return params, opt_state, step

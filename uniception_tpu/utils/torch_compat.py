@@ -80,12 +80,23 @@ def load_torch_state_dict(
     state_dict: Dict[str, np.ndarray],
     strict: bool = True,
     verbose: bool = True,
+    ignore: Tuple[str, ...] = (),
 ) -> Tuple[List[str], List[str]]:
     """Load a torch-layout state dict (numpy arrays) into an nnx module in place.
 
     Returns (missing_keys, unexpected_keys), mirroring torch's
     ``load_state_dict`` report printed by the reference loaders.
+
+    ``ignore`` is a tuple of regex patterns for checkpoint keys that are
+    known aliases of other keys (e.g. the reference DPT registers the same
+    convs under scratch.layer{i}_rn AND scratch.layer_rn.{i-1}); matching
+    keys are dropped before matching and never reported as unexpected.
     """
+    if ignore:
+        import re
+
+        pats = [re.compile(p) for p in ignore]
+        state_dict = {k: v for k, v in state_dict.items() if not any(p.search(k) for p in pats)}
     used = set()
     missing = []
     for dotted, owner, attr, var in _leaf_entries(module):
@@ -104,8 +115,10 @@ def load_torch_state_dict(
     unexpected = [k for k in state_dict.keys() if k not in used]
     if verbose and (missing or unexpected):
         print(f"load_torch_state_dict: missing_keys={missing}, unexpected_keys={unexpected}")
-    if strict and missing:
-        raise KeyError(f"Missing keys in state dict: {missing}")
+    if strict and (missing or unexpected):
+        # torch's load_state_dict(strict=True) raises on both kinds; silently
+        # dropping unexpected tensors would hide key-mapping mistakes.
+        raise KeyError(f"strict load failed: missing_keys={missing}, unexpected_keys={unexpected}")
     return missing, unexpected
 
 

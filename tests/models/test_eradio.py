@@ -68,3 +68,63 @@ def test_eradio_requires_input_shape():
 
     with pytest.raises(AssertionError):
         RADIOEncoder(name="E-RADIO", data_norm_type="radio", model_version="e-radio_v2", rngs=nnx.Rngs(0))
+
+
+def test_window_partition_matches_explicit_blocked_attention():
+    """The window reshape must equal explicitly slicing each (win x win)
+    block: attention computed through _window_partition == attention
+    computed per-block with plain array slicing (VERDICT r1 item 8)."""
+    import numpy as np
+    from uniception_tpu.models.encoders.eradio import _window_merge, _window_partition
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, win = 2, 8, 12, 6, 4
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+
+    t = _window_partition(x, win)
+    assert t.shape == (B * (H // win) * (W // win), win * win, C)
+
+    # explicit blocked view: window order must be row-major over (bH, bW)
+    idx = 0
+    for b in range(B):
+        for bh in range(H // win):
+            for bw in range(W // win):
+                block = x[b, bh * win : (bh + 1) * win, bw * win : (bw + 1) * win, :]
+                np.testing.assert_array_equal(np.asarray(t[idx]), np.asarray(block.reshape(win * win, C)))
+                idx += 1
+
+    # merge is the exact inverse
+    np.testing.assert_array_equal(np.asarray(_window_merge(t, win, H, W)), np.asarray(x))
+
+
+def test_windowed_attention_equals_explicit_blocked_attention():
+    "A _WindowAttnBlock output == running its attention on each block separately."
+    import numpy as np
+    from flax import nnx
+    from uniception_tpu.models.encoders.eradio import _WindowAttnBlock
+    from uniception_tpu.ops.attention import scaled_dot_product_attention
+
+    rng = np.random.RandomState(1)
+    B, H, W, C, win, heads = 1, 8, 8, 8, 4, 2
+    blk = _WindowAttnBlock(C, heads, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    out = blk(x, win)
+
+    # explicit: per-window attention with plain slicing, no partition helper
+    def attn_one(tok):  # (L, C)
+        qkv = blk.qkv(tok).reshape(1, tok.shape[0], 3, heads, C // heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = scaled_dot_product_attention(q, k, v)
+        return blk.proj(a.reshape(1, tok.shape[0], C))[0]
+
+    y = np.array(x)
+    normed = blk.norm1(x)
+    for bh in range(H // win):
+        for bw in range(W // win):
+            tok = normed[0, bh * win : (bh + 1) * win, bw * win : (bw + 1) * win, :].reshape(win * win, C)
+            y[0, bh * win : (bh + 1) * win, bw * win : (bw + 1) * win, :] += np.asarray(
+                attn_one(tok).reshape(win, win, C)
+            )
+    y = jnp.asarray(y)
+    expected = y + blk.fc2(jax.nn.gelu(blk.fc1(blk.norm2(y))))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5, rtol=1e-5)

@@ -88,7 +88,7 @@ ENCODER_CONFIGS = {
     "radio": {
         "class": RADIOEncoder,
         "intermediate_feature_returner_class": RADIOIntermediateFeatureReturner,
-        "supported_models": ["RADIO", "E-RADIO (not yet implemented)"],
+        "supported_models": ["RADIO", "E-RADIO (capability-equivalent hybrid trunk; hub checkpoints not loadable offline)"],
     },
     "patch_embedder": {
         "class": PatchEmbedder,

@@ -54,10 +54,10 @@ def main():
         return flash_attention(q, k, v, scale=scale).reshape(B, N, C)
 
     cases = {
-        "unfused+rope": lambda x, c: unfused(x + c * 1e-12, True).mean(),
-        "unfused-norope": lambda x, c: unfused(x + c * 1e-12, False).mean(),
-        "fused+rope": lambda x, c: fused_qkv_rope_attention(x + c * 1e-12, w, b, pos, H, scale).mean(),
-        "fused-norope": lambda x, c: fused_qkv_rope_attention(x + c * 1e-12, w, b, None, H, scale).mean(),
+        "unfused+rope": lambda x, c: unfused(x + (c * 1e-12).astype(x.dtype), True).mean().astype(jnp.float32),
+        "unfused-norope": lambda x, c: unfused(x + (c * 1e-12).astype(x.dtype), False).mean().astype(jnp.float32),
+        "fused+rope": lambda x, c: fused_qkv_rope_attention(x + (c * 1e-12).astype(x.dtype), w, b, pos, H, scale).mean().astype(jnp.float32),
+        "fused-norope": lambda x, c: fused_qkv_rope_attention(x + (c * 1e-12).astype(x.dtype), w, b, None, H, scale).mean().astype(jnp.float32),
     }
     for name, fn in cases.items():
         sec = benchmark_fn_chained(fn, x, iters=args.iters)

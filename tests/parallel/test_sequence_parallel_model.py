@@ -1,0 +1,80 @@
+"""
+Ring attention integrated into a real model path (VERDICT r1 item 5):
+the many-view global-attention model with the V*T token axis sharded over
+an 8-way mesh must match the unsharded model <= 2e-5.
+"""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+import jax
+import jax.numpy as jnp
+
+from uniception_tpu.models.factory.multiview import MultiViewPointmapModel
+from uniception_tpu.models.info_sharing.base import MultiViewTransformerInput
+from uniception_tpu.models.info_sharing.global_attention_transformer import MultiViewGlobalAttentionTransformer
+from uniception_tpu.ops.attention import sequence_parallel
+from uniception_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_global_attention_transformer_ring_matches_unsharded():
+    "Transformer-level: 4 views x 16 tokens sharded 8-way over the ring."
+    mesh = make_mesh(data=8, model=1)
+    model = MultiViewGlobalAttentionTransformer(
+        name="sp_test", input_embed_dim=48, dim=64, depth=2, num_heads=4, rngs=nnx.Rngs(0)
+    )
+    rng = np.random.RandomState(0)
+    views = [jnp.asarray(rng.randn(2, 48, 4, 4).astype(np.float32)) for _ in range(4)]
+    inp = MultiViewTransformerInput(features=list(views))
+
+    ref = model(inp)
+    with sequence_parallel(mesh, "data"):
+        out = model(inp)
+
+    for a, b in zip(out.features, ref.features):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
+def test_multiview_model_sequence_parallel_matches_unsharded():
+    "Model-level: the factory's sequence_parallel config routes the info-sharing through the ring."
+    mesh = make_mesh(data=8, model=1)
+    common = dict(
+        name="sp_model", num_views=4, img_size=(32, 32), attention_type="global",
+        enc_embed_dim=48, enc_depth=1, enc_num_heads=4,
+        info_sharing_dim=64, info_sharing_depth=2, info_sharing_num_heads=4,
+    )
+    model_ref = MultiViewPointmapModel(rngs=nnx.Rngs(0), **common)
+    model_sp = MultiViewPointmapModel(rngs=nnx.Rngs(0), sequence_parallel=(mesh, "data"), **common)
+
+    rng = np.random.RandomState(1)
+    views = [jnp.asarray(rng.randn(1, 3, 32, 32).astype(np.float32)) for _ in range(4)]
+    ref = model_ref(views)
+    out = model_sp(views)
+
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a["pts3d"]), np.asarray(b["pts3d"]), atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(a["conf"]), np.asarray(b["conf"]), atol=2e-5, rtol=2e-5)
+
+
+def test_sequence_parallel_under_jit():
+    "The SP-routed model must trace/compile under jit with sharded inputs."
+    mesh = make_mesh(data=8, model=1)
+    model = MultiViewGlobalAttentionTransformer(
+        name="sp_jit", input_embed_dim=48, dim=64, depth=1, num_heads=4, rngs=nnx.Rngs(0)
+    )
+    graphdef, state = nnx.split(model)
+    rng = np.random.RandomState(2)
+    views = [jnp.asarray(rng.randn(2, 48, 4, 4).astype(np.float32)) for _ in range(4)]
+
+    @jax.jit
+    def run(state, views):
+        m = nnx.merge(graphdef, state)
+        with sequence_parallel(mesh, "data"):
+            return m(MultiViewTransformerInput(features=list(views))).features[0]
+
+    out = run(state, views)
+    ref = model(MultiViewTransformerInput(features=list(views))).features[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

@@ -51,6 +51,7 @@ class MultiViewPointmapModel(nnx.Module):
         info_sharing_depth: int = 12,
         info_sharing_num_heads: int = 12,
         use_rand_idx_pe_for_non_reference_views: bool = False,
+        sequence_parallel: Optional[tuple] = None,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -60,6 +61,11 @@ class MultiViewPointmapModel(nnx.Module):
         self.name = name
         self.num_views = num_views
         self.data_norm_type = data_norm_type
+        # (mesh, axis_name) or None: when set, the info-sharing V*T token
+        # axis is sharded over the mesh axis and self-attention routes
+        # through ring attention (parallel/ring_attention.py) — exact SP for
+        # many-view global attention (SURVEY.md §5 long-context row)
+        self.sequence_parallel = sequence_parallel
 
         self.encoder = CroCoEncoder(
             name=name,
@@ -120,7 +126,14 @@ class MultiViewPointmapModel(nnx.Module):
         feats = self.encoder(ViTEncoderInput(image=stacked, data_norm_type=self.data_norm_type)).features
         per_view = jnp.split(feats, self.num_views, axis=0)
 
-        out = self.info_sharing(MultiViewTransformerInput(features=list(per_view)), rng_key=rng_key)
+        if self.sequence_parallel is not None:
+            from uniception_tpu.ops.attention import sequence_parallel as _sp_ctx
+
+            mesh, axis = self.sequence_parallel
+            with _sp_ctx(mesh, axis):
+                out = self.info_sharing(MultiViewTransformerInput(features=list(per_view)), rng_key=rng_key)
+        else:
+            out = self.info_sharing(MultiViewTransformerInput(features=list(per_view)), rng_key=rng_key)
 
         results = []
         for v in range(self.num_views):

@@ -8,6 +8,9 @@ Here the switch selects the attention implementation:
     - "xla":    jax.nn.dot_product_attention (XLA fuses this well on TPU)
     - "pallas": custom Pallas flash-attention kernel (TPU only)
     - "naive":  explicit softmax reference implementation (for parity tests)
+    - "fused":  Pallas fused qkv-projection+RoPE+attention kernel (TPU only;
+                modules fall back to "pallas" where the fused contract does
+                not apply — qk_norm, latent attention, exotic PE, huge Nk)
 
 Controlled by env var ``UNICEPTION_TPU_ATTN`` or :func:`set_attention_impl`.
 """
@@ -24,7 +27,7 @@ __all__ = [
     "set_gelu_mode",
 ]
 
-_VALID_IMPLS = ("xla", "pallas", "naive")
+_VALID_IMPLS = ("xla", "pallas", "naive", "fused")
 
 # default to the Pallas kernel: the dispatch falls back to XLA off-TPU
 # automatically (ops/attention.py), so this is the fast path on chip and
@@ -41,7 +44,7 @@ def get_attention_impl() -> str:
 
 
 def set_attention_impl(impl: str):
-    "Select the attention implementation ('xla', 'pallas' or 'naive')."
+    "Select the attention implementation ('xla', 'pallas', 'naive' or 'fused')."
     global _ATTN_IMPL
     if impl not in _VALID_IMPLS:
         raise ValueError(f"Invalid attention impl {impl!r}; must be one of {_VALID_IMPLS}")

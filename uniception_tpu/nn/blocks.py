@@ -29,6 +29,7 @@ converter is mechanical.
 """
 
 import math
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -223,6 +224,45 @@ def _apply_token_count_scalings(q, n_tokens, use_scalable_softmax, use_entropy_s
     return q
 
 
+def _token_count_scale_factor(n_tokens, use_scalable_softmax, use_entropy_scaling, base_count, growth_factor):
+    "The scalar the scalings above multiply q by (folds into the softmax scale)."
+    f = 1.0
+    if use_scalable_softmax:
+        f *= math.log(n_tokens)
+    if use_entropy_scaling:
+        f *= math.sqrt(growth_factor * math.log(n_tokens) / math.log(base_count))
+    return f
+
+
+def _fused_attention_applicable(mod, n_kv: int) -> bool:
+    """Whether the fused qkv+RoPE+attention Pallas kernel covers this module.
+
+    Requirements: UNICEPTION_TPU_ATTN=fused, running on TPU, plain q/k paths
+    (no qk_norm), positional encoding absent or exactly Rope2D, head_dim a
+    multiple of 4, and a key count whose fp32 score tile fits VMEM.
+    """
+    from uniception_tpu.models.utils.config import get_attention_impl
+    from uniception_tpu.ops.attention import get_sequence_parallel
+    from uniception_tpu.ops.rope import Rope2D
+
+    if get_attention_impl() != "fused" or get_sequence_parallel() is not None:
+        return False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not (on_tpu or os.environ.get("UNICEPTION_TPU_PALLAS_INTERPRET") == "1"):
+        return False
+    pe = mod.custom_positional_encoding
+    return (
+        isinstance(mod.q_norm, Identity)
+        and isinstance(mod.k_norm, Identity)
+        and (pe is None or isinstance(pe, Rope2D))
+        and mod.head_dim % 4 == 0
+        and n_kv <= 2048
+    )
+
+
 class Attention(nnx.Module):
     "Self-attention layer (transformer_blocks.py:136-257)."
 
@@ -274,6 +314,29 @@ class Attention(nnx.Module):
 
     def __call__(self, x: jnp.ndarray, xpos: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, N, C = x.shape
+        if not self.latent_attn and _fused_attention_applicable(self, N):
+            from uniception_tpu.ops.fused_attention import fused_qkv_rope_attention
+
+            pe = self.custom_positional_encoding
+            if pe is not None:
+                assert xpos is not None, "xpos required when using custom positional encoding"
+            scale = self.scale * _token_count_scale_factor(
+                N,
+                self.use_scalable_softmax,
+                self.use_entropy_scaling,
+                self.base_token_count_for_entropy_scaling,
+                self.entropy_scaling_growth_factor,
+            )
+            w = self.qkv.kernel[...].astype(x.dtype)
+            b = self.qkv.bias[...] if self.qkv.bias is not None else jnp.zeros((w.shape[1],), x.dtype)
+            out = fused_qkv_rope_attention(
+                x, w, b,
+                xpos if pe is not None else None,
+                self.num_heads, scale,
+                pe.base if pe is not None else 100.0,
+                pe.F0 if pe is not None else 1.0,
+            )
+            return self.proj_drop(self.proj(out))
         qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, self.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         q, k = self.q_norm(q), self.k_norm(k)
@@ -352,6 +415,42 @@ class CrossAttention(nnx.Module):
         B, Nq, C = query.shape
         Nk = key.shape[1]
         Nv = value.shape[1]
+
+        # the fused kernel projects k and v from one source tensor, so it
+        # only applies when the caller passes the same array for both (the
+        # decoder/info-sharing pattern)
+        if key is value and _fused_attention_applicable(self, Nk):
+            from uniception_tpu.ops.fused_attention import fused_cross_rope_attention
+
+            pe = self.custom_positional_encoding
+            if pe is not None:
+                assert qpos is not None and kpos is not None, "qpos/kpos required with custom positional encoding"
+            scale = self.scale * _token_count_scale_factor(
+                Nq,
+                self.use_scalable_softmax,
+                self.use_entropy_scaling,
+                self.base_token_count_for_entropy_scaling,
+                self.entropy_scaling_growth_factor,
+            )
+            dt = query.dtype
+            wq = self.projq.kernel[...].astype(dt)
+            wkv = jnp.concatenate([self.projk.kernel[...], self.projv.kernel[...]], axis=1).astype(dt)
+            zeros = lambda n: jnp.zeros((n,), dt)
+            bq = self.projq.bias[...] if self.projq.bias is not None else zeros(wq.shape[1])
+            bkv = (
+                jnp.concatenate([self.projk.bias[...], self.projv.bias[...]])
+                if self.projk.bias is not None
+                else zeros(wkv.shape[1])
+            )
+            out = fused_cross_rope_attention(
+                query, key, wq, wkv, bq, bkv,
+                qpos if pe is not None else None,
+                kpos if pe is not None else None,
+                self.num_heads, scale,
+                pe.base if pe is not None else 100.0,
+                pe.F0 if pe is not None else 1.0,
+            )
+            return self.proj_drop(self.proj(out))
 
         q = self.projq(query).reshape(B, Nq, self.num_heads, self.head_dim)
         k = self.projk(key).reshape(B, Nk, self.num_heads, self.head_dim)

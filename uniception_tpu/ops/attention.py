@@ -17,6 +17,7 @@ Implementations:
     * "naive":  explicit softmax in fp32 — the parity oracle.
 """
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -24,7 +25,36 @@ import jax.numpy as jnp
 
 from uniception_tpu.models.utils.config import get_attention_impl
 
-__all__ = ["scaled_dot_product_attention"]
+__all__ = ["scaled_dot_product_attention", "set_sequence_parallel", "get_sequence_parallel", "sequence_parallel"]
+
+# Sequence parallelism (SP / context parallelism): when set, self-attention
+# calls with q/k token counts divisible by the mesh axis route through the
+# ring-attention collective (parallel/ring_attention.py) — the V*T token axis
+# is sharded over the mesh axis and KV chunks rotate over ICI. This is the
+# TPU-native long-context answer the reference lacks (SURVEY.md §5).
+_SEQ_PARALLEL = None  # (mesh, axis_name) or None
+
+
+def set_sequence_parallel(mesh=None, axis_name: str = "data"):
+    "Enable (mesh, axis) or disable (mesh=None) ring-attention sequence parallelism."
+    global _SEQ_PARALLEL
+    _SEQ_PARALLEL = None if mesh is None else (mesh, axis_name)
+
+
+def get_sequence_parallel():
+    return _SEQ_PARALLEL
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis_name: str = "data"):
+    "Context manager form of :func:`set_sequence_parallel`."
+    global _SEQ_PARALLEL
+    prev = _SEQ_PARALLEL
+    _SEQ_PARALLEL = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _SEQ_PARALLEL = prev
 
 
 def _naive_attention(q, k, v, scale):
@@ -64,6 +94,14 @@ def scaled_dot_product_attention(
     impl = impl or get_attention_impl()
     if scale is None:
         scale = q.shape[-1] ** -0.5
+
+    if _SEQ_PARALLEL is not None and v.shape[-1] == q.shape[-1]:
+        mesh, axis = _SEQ_PARALLEL
+        n_dev = mesh.shape[axis]
+        if q.shape[1] % n_dev == 0 and k.shape[1] % n_dev == 0:
+            from uniception_tpu.parallel.ring_attention import ring_attention_sharded
+
+            return ring_attention_sharded(q, k, v, mesh, axis, scale=scale)
 
     # jax.nn.dot_product_attention and the flash kernel require matching
     # q/k/v head dims; differential attention uses Dv = 2*Dq (torch SDPA

@@ -24,6 +24,7 @@ gradients fall back to an XLA recompute.
 
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -363,13 +364,26 @@ def _fa_fwd(q, k, v, scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
+_warned_bwd_fallback = False
+
+
 def _fa_bwd(scale, block_q, block_k, res, g):
+    global _warned_bwd_fallback
     q, k, v, out, lse = res
-    try:
-        if jax.devices()[0].platform == "tpu" or _interpret():
+    if jax.devices()[0].platform == "tpu" or _interpret():
+        try:
             return _flash_attention_bwd_pallas(q, k, v, out, lse, g, scale, block_q, block_k)
-    except Exception:
-        pass
+        except Exception as e:
+            # A Pallas backward failure on TPU is a kernel/trace bug and a
+            # silent perf cliff — surface it once instead of hiding it.
+            if not _warned_bwd_fallback:
+                _warned_bwd_fallback = True
+                warnings.warn(
+                    f"Pallas flash-attention backward failed ({type(e).__name__}: {e}); "
+                    "falling back to XLA recompute. Set UNICEPTION_TPU_ATTN=xla to silence.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     # fallback: recompute through XLA
     _, vjp = jax.vjp(lambda q_, k_, v_: jax.nn.dot_product_attention(q_, k_, v_, scale=scale), q, k, v)
     return vjp(g)

@@ -67,12 +67,18 @@ def ring_attention(q, k, v, axis_name: str, scale: Optional[float] = None):
         return (acc, m_new, l, kc, vc), None
 
     B, Nq, H, D = q.shape
+
     # mark the accumulators as device-varying over the ring axis so the scan
-    # carry types match after the ppermute (shard_map vma tracking)
+    # carry types match after the ppermute (shard_map vma tracking);
+    # jax.lax.pvary was deprecated in favor of pcast(..., to="varying")
+    if hasattr(jax.lax, "pcast"):
+        _vary = lambda x: jax.lax.pcast(x, axis_name, to="varying")
+    else:  # pragma: no cover - older jax
+        _vary = lambda x: jax.lax.pvary(x, axis_name)
     init = (
-        jax.lax.pvary(jnp.zeros((B, Nq, H, D), jnp.float32), axis_name),
-        jax.lax.pvary(jnp.full((B, H, Nq), NEG_INF, jnp.float32), axis_name),
-        jax.lax.pvary(jnp.zeros((B, H, Nq), jnp.float32), axis_name),
+        _vary(jnp.zeros((B, Nq, H, D), jnp.float32)),
+        _vary(jnp.full((B, H, Nq), NEG_INF, jnp.float32)),
+        _vary(jnp.zeros((B, H, Nq), jnp.float32)),
         k,
         v,
     )
@@ -83,7 +89,7 @@ def ring_attention(q, k, v, axis_name: str, scale: Optional[float] = None):
 
 def ring_attention_sharded(q, k, v, mesh, axis_name: str = "data", scale: Optional[float] = None):
     "Convenience wrapper: shard q/k/v over the token axis and run the ring."
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, axis_name)

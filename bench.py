@@ -3,11 +3,14 @@ Headline benchmark: two-view DUSt3R ViT-L pointmap inference @ 512x512.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology: the model runs in bf16 (params + compute) with the Pallas
-flash-attention kernel; iterations are chained inside a single jit'd
-lax.scan (data-dependent carry) so the measurement reflects pure device
-time — the axon host<->TPU tunnel adds ~100ms per fetch, which a naive
-per-call timing loop would mis-attribute.
+Methodology: the model runs in the production serving configuration —
+bf16 params/compute with the Pallas flash-attention kernel and the trunk
+linears int8-quantized (w8a8 dynamic, nn/quant.py; BENCH_QUANT=none for
+pure bf16). Iterations are chained inside a single jit'd lax.scan
+(data-dependent carry) so the measurement reflects pure device time — the
+axon host<->TPU tunnel adds ~100ms per fetch, which a naive per-call
+timing loop would mis-attribute. int8 parity bounds vs fp32 are measured
+by scripts/check_quant_parity.py and recorded in BASELINE.md.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
 is an analytic estimate of the reference's throughput on its target GPU
@@ -33,9 +36,18 @@ def main():
 
     set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
     set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))  # production activation
+    if os.environ.get("BENCH_ATTN_QUANT"):  # int8 / int8pv attention kernel (opt-in)
+        from uniception_tpu.models.utils.config import set_attention_quant
+
+        set_attention_quant(os.environ["BENCH_ATTN_QUANT"])
     IMG = int(os.environ.get("BENCH_IMG", "512"))
     BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # sweep: b2=57.6, b3=56.8, b4=56.1, b8=51.9 pairs/s
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+    # int8: w8a8 dynamic-quantized trunk projections (nn/quant.py) — the
+    # production serving configuration; MXU int8 runs at 2x the bf16 rate.
+    # Parity vs the bf16 path is gated in tests/nn/test_quant.py and the
+    # measured full-model bound is recorded in BASELINE.md.
+    QUANT = os.environ.get("BENCH_QUANT", "int8")
 
     model = DUSt3R(
         name="dust3r_512_linear",
@@ -48,6 +60,13 @@ def main():
     graphdef, state = nnx.split(model)
     # bf16 weights: inference-serving configuration
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+    if QUANT == "int8":
+        from uniception_tpu.nn.quant import quantize_linears
+
+        model = nnx.merge(graphdef, state)
+        n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
+        print(f"int8-quantized {n_q} trunk linears", file=sys.stderr)
+        graphdef, state = nnx.split(model)
 
     def one(state, img1, img2, ts, carry):
         m = nnx.merge(graphdef, state)

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--dim", type=int, default=1024)
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--int8", action="store_true", help="profile the w8a8-quantized block (nn/quant.py)")
     args = ap.parse_args()
 
     from uniception_tpu.models.utils.config import set_gelu_mode
@@ -47,6 +48,11 @@ def main():
     graphdef, state = nnx.split(blk)
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
     blk = nnx.merge(graphdef, state)
+    if args.int8:
+        from uniception_tpu.nn.quant import quantize_linears
+
+        n_q = quantize_linears(blk, min_params=1)
+        print(f"int8-quantized {n_q} linears in the block")
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(jnp.bfloat16)
@@ -54,9 +60,17 @@ def main():
     yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
     pos = jnp.asarray(np.broadcast_to(np.stack([yy.ravel(), xx.ravel()], -1), (B, N, 2)).copy())
 
-    qkv_w = blk.attn.qkv.kernel[...]
-    qkv_b = blk.attn.qkv.bias[...]
-    proj_w = blk.attn.proj.kernel[...]
+    if args.int8:
+        qkv_fn = lambda t: blk.attn.qkv(t)  # noqa: E731
+        proj_fn = lambda t: blk.attn.proj(t)  # noqa: E731
+        fc2_fn = lambda t: blk.mlp.fc2(t)  # noqa: E731
+    else:
+        qkv_w = blk.attn.qkv.kernel[...]
+        qkv_b = blk.attn.qkv.bias[...]
+        proj_w = blk.attn.proj.kernel[...]
+        qkv_fn = lambda t: t @ qkv_w + qkv_b  # noqa: E731
+        proj_fn = lambda t: t @ proj_w  # noqa: E731
+        fc2_fn = lambda t: t @ blk.mlp.fc2.kernel[...]  # noqa: E731
     q4 = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)).astype(jnp.bfloat16)
     p_full = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(jnp.bfloat16)
     h_mlp = jnp.asarray(rng.randn(B, N, 4 * C).astype(np.float32)).astype(jnp.bfloat16)
@@ -67,12 +81,12 @@ def main():
     cases = {
         "full_block": lambda x, c: blk(x + c_(c, x), pos).mean().astype(jnp.float32),
         "norm1": lambda x, c: blk.norm1(x + c_(c, x)).mean().astype(jnp.float32),
-        "qkv_proj": lambda x, c: ((x + c_(c, x)) @ qkv_w + qkv_b).mean().astype(jnp.float32),
+        "qkv_proj": lambda x, c: qkv_fn(x + c_(c, x)).mean().astype(jnp.float32),
         "rope_q": lambda x, c: rope_2d(q4 + c_(c, q4), pos).mean().astype(jnp.float32),
         "attn_kernel": lambda x, c: flash_attention(q4 + c_(c, q4), q4, q4, scale=D**-0.5).mean().astype(jnp.float32),
-        "out_proj": lambda x, c: ((p_full + c_(c, p_full)) @ proj_w).mean().astype(jnp.float32),
+        "out_proj": lambda x, c: proj_fn(p_full + c_(c, p_full)).mean().astype(jnp.float32),
         "mlp": lambda x, c: blk.mlp(x + c_(c, x)).mean().astype(jnp.float32),
-        "mlp_fc2_only": lambda x, c: ((h_mlp + c_(c, h_mlp)) @ blk.mlp.fc2.kernel[...]).mean().astype(jnp.float32),
+        "mlp_fc2_only": lambda x, c: fc2_fn(h_mlp + c_(c, h_mlp)).mean().astype(jnp.float32),
     }
     times = {}
     for name, fn in cases.items():

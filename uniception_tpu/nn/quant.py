@@ -1,0 +1,117 @@
+"""
+Int8 serving path: w8a8 dynamic-quantized linear layers.
+
+TPU v5e executes int8 x int8 -> int32 matmuls on the MXU at 2x the bf16
+rate (394.7 vs 197.4 TOPS), and the projections (qkv / proj / mlp) carry
+~86% of a ViT block's FLOPs — so quantizing only the nn.Linear layers
+(attention math stays bf16 in the Pallas kernel) buys most of the int8
+headroom while keeping softmax/normalization numerics intact.
+
+Scheme (standard "SmoothQuant-free" dynamic w8a8):
+    * weights:     symmetric per-output-channel int8,
+                   scale_j = max_i |W[i, j]| / 127
+    * activations: symmetric per-token (per row) int8, computed on the fly,
+                   scale_t = max_c |x[t, c]| / 127
+    * y = (x_q @ W_q) * (scale_t * scale_j) + b      (int32 accumulation)
+
+The reference has no quantization story (pure fp32/autocast torch,
+uniception/models/factory/dust3r.py:309); this is a TPU-native serving
+extension. Accuracy is gated by tests/nn/test_quant.py against the
+reference's own golden thresholds (abs < 1e-2, rel < 1e-3 — see
+/root/reference/examples/models/dust3r/dust3r.py:223-230).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+__all__ = ["Int8Linear", "quantize_linears", "quantize_int8"]
+
+
+def quantize_int8(w: jnp.ndarray, axis: int = 0):
+    """Symmetric int8 quantization of ``w`` per channel along ``axis``.
+
+    Returns (w_q int8, scale f32) with ``w ~= w_q * scale`` (scale broadcast
+    along ``axis``).
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+class Int8Linear(nnx.Module):
+    """Drop-in inference replacement for ``nnx.Linear`` with int8 weights
+    and dynamic per-token int8 activations (int32 MXU accumulation).
+
+    Build with :meth:`from_linear`; not meant to be trained (no STE).
+    """
+
+    def __init__(self, w_q: jnp.ndarray, w_scale: jnp.ndarray, bias: Optional[jnp.ndarray]):
+        self.w_q = nnx.Param(w_q)  # (in, out) int8
+        self.w_scale = nnx.Param(w_scale)  # (1, out) f32
+        self.bias = nnx.Param(bias) if bias is not None else None
+        self.in_features = int(w_q.shape[0])
+        self.out_features = int(w_q.shape[1])
+
+    @classmethod
+    def from_linear(cls, lin: nnx.Linear) -> "Int8Linear":
+        w_q, w_scale = quantize_int8(lin.kernel[...], axis=0)
+        bias = lin.bias[...].astype(jnp.float32) if lin.bias is not None else None
+        return cls(w_q, w_scale, bias)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30) / 127.0
+        x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q,
+            self.w_q[...],
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (a_scale * self.w_scale[...])
+        if self.bias is not None:
+            y = y + self.bias[...]
+        return y.astype(orig_dtype)
+
+
+def _maybe_children(node):
+    "Yield (setter, child) pairs for nnx.Module attributes and list items."
+    if isinstance(node, nnx.Module):
+        for name, value in list(vars(node).items()):
+            yield (lambda v, n=node, a=name: setattr(n, a, v)), value
+    elif isinstance(node, (list, nnx.List)):
+        for i, value in enumerate(list(node)):
+            yield (lambda v, n=node, j=i: n.__setitem__(j, v)), value
+
+
+def quantize_linears(
+    module: nnx.Module,
+    *,
+    min_params: int = 1 << 16,
+    predicate: Optional[Callable[[str, nnx.Linear], bool]] = None,
+    _path: str = "",
+) -> int:
+    """Replace every large ``nnx.Linear`` under ``module`` (in place) with an
+    :class:`Int8Linear`. Returns the number of layers converted.
+
+    min_params: skip layers with fewer kernel elements (tiny layers gain
+        nothing and lose accuracy).
+    predicate: optional ``(dotted_path, linear) -> bool`` filter applied on
+        top of the size threshold.
+    """
+    count = 0
+    for setter, child in _maybe_children(module):
+        if isinstance(child, nnx.Linear):
+            k = child.kernel[...]
+            if k.size >= min_params and (predicate is None or predicate(_path, child)):
+                setter(Int8Linear.from_linear(child))
+                count += 1
+        elif isinstance(child, (nnx.Module, list, nnx.List)) and not isinstance(child, Int8Linear):
+            count += quantize_linears(child, min_params=min_params, predicate=predicate, _path=_path)
+    return count

@@ -29,6 +29,7 @@ from uniception_tpu.models.utils.intermediate_feature_return import (
     feature_take_indices,
 )
 from uniception_tpu.nn.blocks import SelfAttentionBlock, layer_norm_factory
+from uniception_tpu.nn.scan import make_stacked_blocks, scan_blocks as apply_scan_blocks
 from uniception_tpu.ops.rope import Rope2D
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
@@ -55,6 +56,7 @@ class CroCoEncoder(UniCeptionViTEncoderBase):
         pretrained_checkpoint_path: Optional[str] = None,
         override_checkpoint_attributes: bool = False,
         gradient_checkpointing: bool = False,
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -90,22 +92,27 @@ class CroCoEncoder(UniCeptionViTEncoderBase):
             patch_embed_cls, img_size, patch_size, enc_embed_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs
         )
 
-        self.enc_blocks = nnx.List(
-            [
-                SelfAttentionBlock(
-                    dim=enc_embed_dim,
-                    num_heads=enc_num_heads,
-                    mlp_ratio=mlp_ratio,
-                    qkv_bias=True,
-                    norm_layer=norm_layer,
-                    custom_positional_encoding=self.rope,
-                    dtype=dtype,
-                    param_dtype=param_dtype,
-                    rngs=rngs,
-                )
-                for _ in range(enc_depth)
-            ]
-        )
+        def make_block(r: nnx.Rngs) -> SelfAttentionBlock:
+            return SelfAttentionBlock(
+                dim=enc_embed_dim,
+                num_heads=enc_num_heads,
+                mlp_ratio=mlp_ratio,
+                qkv_bias=True,
+                norm_layer=norm_layer,
+                custom_positional_encoding=self.rope,
+                dtype=dtype,
+                param_dtype=param_dtype,
+                rngs=r,
+            )
+
+        # scan_blocks: store ONE block with depth-stacked params and run
+        # lax.scan over the depth axis — the block traces once (fast
+        # compiles) and the layout is pipeline-parallel ready (nn/scan.py).
+        self.scan_blocks = scan_blocks
+        if scan_blocks:
+            self.enc_blocks = make_stacked_blocks(enc_depth, make_block, rngs)
+        else:
+            self.enc_blocks = nnx.List([make_block(rngs) for _ in range(enc_depth)])
         self.enc_norm = norm_layer(enc_embed_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
         if pretrained_checkpoint_path:
@@ -146,8 +153,11 @@ class CroCoEncoder(UniCeptionViTEncoderBase):
 
     def __call__(self, encoder_input: ViTEncoderInput) -> ViTEncoderOutput:
         features, pos, (height, width) = self._embed(encoder_input)
-        for blk in self.enc_blocks:
-            features = self._block_apply(blk, features, pos)
+        if self.scan_blocks:
+            features = apply_scan_blocks(self.enc_blocks, features, pos, remat=self.gradient_checkpointing)
+        else:
+            for blk in self.enc_blocks:
+                features = self._block_apply(blk, features, pos)
         features = self.enc_norm(features)
         return ViTEncoderOutput(features=self._to_bchw(features, height, width))
 
@@ -178,14 +188,24 @@ class CroCoIntermediateFeatureReturner(CroCoEncoder, IntermediateFeatureReturner
     ) -> Union[List[ViTEncoderOutput], Tuple[ViTEncoderOutput, List[ViTEncoderOutput]]]:
         features, pos, (height, width) = self._embed(encoder_input)
 
-        take_indices, max_index = feature_take_indices(len(self.enc_blocks), self.indices)
-        blocks = self.enc_blocks[: max_index + 1] if self.stop_early else list(self.enc_blocks)
+        take_indices, max_index = feature_take_indices(self.enc_depth, self.indices)
 
-        intermediates = []
-        for blk_idx, blk in enumerate(blocks):
-            features = self._block_apply(blk, features, pos)
-            if blk_idx in take_indices:
-                intermediates.append(self.enc_norm(features) if self.norm_intermediate else features)
+        if self.scan_blocks:
+            # scan layout: collect every depth's output, select statically.
+            # (stop_early is a no-op here — the scan always runs full depth.)
+            features, per_depth = apply_scan_blocks(
+                self.enc_blocks, features, pos, collect=True, remat=self.gradient_checkpointing
+            )
+            intermediates = [
+                self.enc_norm(per_depth[i]) if self.norm_intermediate else per_depth[i] for i in take_indices
+            ]
+        else:
+            blocks = self.enc_blocks[: max_index + 1] if self.stop_early else list(self.enc_blocks)
+            intermediates = []
+            for blk_idx, blk in enumerate(blocks):
+                features = self._block_apply(blk, features, pos)
+                if blk_idx in take_indices:
+                    intermediates.append(self.enc_norm(features) if self.norm_intermediate else features)
 
         intermediates = [ViTEncoderOutput(features=self._to_bchw(f, height, width)) for f in intermediates]
 

@@ -91,6 +91,7 @@ class DUSt3R(nnx.Module):
         info_sharing_depth: int = 12,
         info_sharing_num_heads: int = 12,
         gradient_checkpointing: bool = False,
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -127,6 +128,7 @@ class DUSt3R(nnx.Module):
             pretrained_checkpoint_path=pretrained_encoder_checkpoint_path,
             override_checkpoint_attributes=override_encoder_checkpoint_attributes,
             gradient_checkpointing=gradient_checkpointing,
+            scan_blocks=scan_blocks,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
@@ -142,6 +144,7 @@ class DUSt3R(nnx.Module):
                 num_heads=info_sharing_num_heads,
                 custom_positional_encoding=self.rope,
                 gradient_checkpointing=gradient_checkpointing,
+                scan_blocks=scan_blocks,
                 pretrained_checkpoint_path=pretrained_info_sharing_checkpoint_path,
                 dtype=dtype,
                 param_dtype=param_dtype,
@@ -159,6 +162,7 @@ class DUSt3R(nnx.Module):
                 norm_intermediate=False,
                 custom_positional_encoding=self.rope,
                 gradient_checkpointing=gradient_checkpointing,
+                scan_blocks=scan_blocks,
                 pretrained_checkpoint_path=pretrained_info_sharing_checkpoint_path,
                 dtype=dtype,
                 param_dtype=param_dtype,
@@ -227,7 +231,21 @@ class DUSt3R(nnx.Module):
         if pretrained_checkpoint_path is not None:
             print(f"Loading pretrained DUSt3R weights from {pretrained_checkpoint_path} ...")
             ckpt = load_checkpoint(pretrained_checkpoint_path)
-            load_torch_state_dict(self, ckpt["model"])
+            load_torch_state_dict(self, ckpt["model"], ignore=self.checkpoint_alias_patterns())
+
+    def checkpoint_alias_patterns(self) -> tuple:
+        """Regex patterns for torch-side duplicate keys in full-model state
+        dicts. The reference's dpt variant registers the same modules under
+        head{1,2} = nn.Sequential(dpt_feature_head, dpt_regressor_head)
+        (reference factory/dust3r.py:178,192) plus the scratch.layer*_rn
+        spellings — canonical keys are dpt_feature_head*/dpt_regressor_head*.
+        For the linear variant head{1,2}.* IS canonical, so nothing is
+        ignored."""
+        if self.pred_head_type == "dpt":
+            from uniception_tpu.models.prediction_heads.dpt import DPT_CHECKPOINT_ALIASES
+
+            return DPT_CHECKPOINT_ALIASES + (r"^head[12]\.",)
+        return ()
 
     # --- head dispatch -----------------------------------------------------
 

@@ -16,6 +16,7 @@ TPU-native notes:
 
 from typing import Callable, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -31,6 +32,7 @@ from uniception_tpu.models.utils.intermediate_feature_return import (
 from uniception_tpu.models.utils.positional_encoding import make_patch_positions
 from uniception_tpu.nn.blocks import CrossAttentionBlock, Mlp, layer_norm_factory
 from uniception_tpu.nn.common import Identity, LinearX, remat_call
+from uniception_tpu.nn.scan import make_stacked_blocks
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
 
@@ -39,6 +41,10 @@ __all__ = ["MultiViewCrossAttentionTransformer", "MultiViewCrossAttentionTransfo
 
 class MultiViewCrossAttentionTransformer(UniCeptionInfoSharingBase):
     "Multi-view cross-attention transformer for information sharing."
+
+    # class default so subclasses with their own __init__ (e.g. the
+    # Differential variant) keep the Python-loop layout unless they opt in
+    scan_blocks = False
 
     def __init__(
         self,
@@ -67,6 +73,7 @@ class MultiViewCrossAttentionTransformer(UniCeptionInfoSharingBase):
         entropy_scaling_growth_factor: float = 1.4,
         pretrained_checkpoint_path: Optional[str] = None,
         gradient_checkpointing: bool = False,
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -90,36 +97,42 @@ class MultiViewCrossAttentionTransformer(UniCeptionInfoSharingBase):
         else:
             self.proj_embed = Identity()
 
-        def make_branch():
-            return nnx.List(
-                [
-                    CrossAttentionBlock(
-                        dim=dim,
-                        num_heads=num_heads,
-                        mlp_ratio=mlp_ratio,
-                        qkv_bias=qkv_bias,
-                        qk_norm=qk_norm,
-                        proj_drop=proj_drop,
-                        attn_drop=attn_drop,
-                        init_values=init_values,
-                        drop_path=drop_path,
-                        norm_layer=norm_layer,
-                        mlp_layer=mlp_layer,
-                        custom_positional_encoding=custom_positional_encoding,
-                        norm_cross_tokens=norm_cross_tokens,
-                        use_scalable_softmax=use_scalable_softmax,
-                        use_entropy_scaling=use_entropy_scaling,
-                        base_token_count_for_entropy_scaling=base_token_count_for_entropy_scaling,
-                        entropy_scaling_growth_factor=entropy_scaling_growth_factor,
-                        dtype=dtype,
-                        param_dtype=param_dtype,
-                        rngs=rngs,
-                    )
-                    for _ in range(depth)
-                ]
+        def make_block(r: nnx.Rngs) -> CrossAttentionBlock:
+            return CrossAttentionBlock(
+                dim=dim,
+                num_heads=num_heads,
+                mlp_ratio=mlp_ratio,
+                qkv_bias=qkv_bias,
+                qk_norm=qk_norm,
+                proj_drop=proj_drop,
+                attn_drop=attn_drop,
+                init_values=init_values,
+                drop_path=drop_path,
+                norm_layer=norm_layer,
+                mlp_layer=mlp_layer,
+                custom_positional_encoding=custom_positional_encoding,
+                norm_cross_tokens=norm_cross_tokens,
+                use_scalable_softmax=use_scalable_softmax,
+                use_entropy_scaling=use_entropy_scaling,
+                base_token_count_for_entropy_scaling=base_token_count_for_entropy_scaling,
+                entropy_scaling_growth_factor=entropy_scaling_growth_factor,
+                dtype=dtype,
+                param_dtype=param_dtype,
+                rngs=r,
             )
 
-        self.multi_view_branches = nnx.List([make_branch() for _ in range(num_views)])
+        # scan_blocks: each view's branch becomes ONE block with depth-stacked
+        # params; the depth loop runs as lax.scan (trace-once compiles,
+        # pipeline-parallel-ready layout — see nn/scan.py).
+        self.scan_blocks = scan_blocks
+        if scan_blocks:
+            self.multi_view_branches = nnx.List(
+                [make_stacked_blocks(depth, make_block, rngs) for _ in range(num_views)]
+            )
+        else:
+            self.multi_view_branches = nnx.List(
+                [nnx.List([make_block(rngs) for _ in range(depth)]) for _ in range(num_views)]
+            )
         self.norm = norm_layer(dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
         if pretrained_checkpoint_path is not None:
@@ -174,14 +187,49 @@ class MultiViewCrossAttentionTransformer(UniCeptionInfoSharingBase):
     def _to_bchw(self, tokens, batch_size, height, width):
         return jnp.transpose(tokens.reshape(batch_size, height, width, self.dim), (0, 3, 1, 2))
 
+    def _run_scan(self, tokens, positions, collect: bool = False):
+        """Depth loop as lax.scan over per-view stacked branch params.
+
+        One scan step advances ALL views one depth (each view cross-attends
+        to the others' previous-depth tokens — same lockstep semantics as
+        the Python loop / reference :241-264)."""
+        splits = [nnx.split(branch) for branch in self.multi_view_branches]
+        graphdefs = [g for g, _ in splits]
+        states = tuple(s for _, s in splits)
+        nv = self.num_views
+
+        def body(carry, depth_states):
+            toks = list(carry)
+            new = []
+            for v in range(nv):
+                blk = nnx.merge(graphdefs[v], depth_states[v])
+                others = jnp.concatenate([toks[i] for i in range(nv) if i != v], axis=1)
+                vpos = positions[v]
+                opos = (
+                    jnp.concatenate([positions[i] for i in range(nv) if i != v], axis=1)
+                    if vpos is not None
+                    else None
+                )
+                new.append(blk(toks[v], others, vpos, opos))
+            new = tuple(new)
+            return new, (new if collect else None)
+
+        if self.gradient_checkpointing:
+            body = jax.checkpoint(body)
+        final, ys = jax.lax.scan(body, tuple(tokens), states)
+        return list(final), ys
+
     # --- public forward ---------------------------------------------------
 
     def __call__(self, model_input: MultiViewTransformerInput) -> MultiViewTransformerOutput:
         self._check_input(model_input)
         tokens, positions, (b, h, w) = self._tokens_and_positions(model_input)
 
-        for depth_idx in range(self.depth):
-            tokens = self._depth_step(depth_idx, tokens, positions)
+        if self.scan_blocks:
+            tokens, _ = self._run_scan(tokens, positions)
+        else:
+            for depth_idx in range(self.depth):
+                tokens = self._depth_step(depth_idx, tokens, positions)
 
         out = [self._to_bchw(self.norm(t), b, h, w) for t in tokens]
         return MultiViewTransformerOutput(features=out)
@@ -218,13 +266,24 @@ class MultiViewCrossAttentionTransformerIFR(MultiViewCrossAttentionTransformer, 
         tokens, positions, (b, h, w) = self._tokens_and_positions(model_input)
 
         intermediates = []
-        for depth_idx in range(self.depth):
-            tokens = self._depth_step(depth_idx, tokens, positions)
-            if depth_idx in take_indices:
-                views = [self.norm(t) if self.norm_intermediate else t for t in tokens]
+        if self.scan_blocks:
+            tokens, ys = self._run_scan(tokens, positions, collect=True)
+            for depth_idx in take_indices:
+                views = [
+                    self.norm(ys[v][depth_idx]) if self.norm_intermediate else ys[v][depth_idx]
+                    for v in range(self.num_views)
+                ]
                 intermediates.append(
                     MultiViewTransformerOutput(features=[self._to_bchw(t, b, h, w) for t in views])
                 )
+        else:
+            for depth_idx in range(self.depth):
+                tokens = self._depth_step(depth_idx, tokens, positions)
+                if depth_idx in take_indices:
+                    views = [self.norm(t) if self.norm_intermediate else t for t in tokens]
+                    intermediates.append(
+                        MultiViewTransformerOutput(features=[self._to_bchw(t, b, h, w) for t in views])
+                    )
 
         if self.intermediates_only:
             return intermediates

@@ -254,8 +254,10 @@ def _fused_attention_applicable(mod, n_kv: int) -> bool:
     if not (on_tpu or os.environ.get("UNICEPTION_TPU_PALLAS_INTERPRET") == "1"):
         return False
     pe = mod.custom_positional_encoding
+    projs = [getattr(mod, a) for a in ("qkv", "projq", "projk", "projv") if hasattr(mod, a)]
     return (
-        isinstance(mod.q_norm, Identity)
+        all(isinstance(p, nnx.Linear) for p in projs)  # int8-quantized projections have no bf16 kernel to fuse
+        and isinstance(mod.q_norm, Identity)
         and isinstance(mod.k_norm, Identity)
         and (pe is None or isinstance(pe, Rope2D))
         and mod.head_dim % 4 == 0

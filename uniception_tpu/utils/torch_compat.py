@@ -37,6 +37,27 @@ def _leaf_entries(module: nnx.Module) -> List[Tuple[str, Any, str, Any]]:
     return entries
 
 
+def _stacked_roots(module: nnx.Module) -> Dict[str, int]:
+    """Dotted paths of depth-stacked block modules (nn/scan.py) -> depth.
+
+    A stacked module stores one block whose params carry a leading depth
+    axis; torch checkpoints address the same weights as ``root.{i}.rest``.
+    """
+    roots = {}
+    for path, mod in nnx.iter_modules(module):
+        depth = getattr(mod, "stacked_depth", None)
+        if isinstance(depth, int):
+            roots[".".join(str(p) for p in path)] = depth
+    return roots
+
+
+def _stacked_root_for(dotted: str, roots: Dict[str, int]):
+    for root, depth in roots.items():
+        if dotted.startswith(root + "."):
+            return root, depth
+    return None
+
+
 def torch_key_for(dotted: str, owner: nnx.Module, attr: str) -> str:
     "Translate an nnx leaf path to the corresponding torch state-dict key."
     if isinstance(owner, (nnx.Linear, nnx.Conv, nnx.ConvTranspose)) and attr == "kernel":
@@ -99,8 +120,27 @@ def load_torch_state_dict(
         state_dict = {k: v for k, v in state_dict.items() if not any(p.search(k) for p in pats)}
     used = set()
     missing = []
+    roots = _stacked_roots(module)
     for dotted, owner, attr, var in _leaf_entries(module):
         tkey = torch_key_for(dotted, owner, attr)
+        stacked = _stacked_root_for(dotted, roots)
+        if stacked is not None:
+            # depth-stacked block (nn/scan.py): torch keys are root.{i}.rest
+            root, depth = stacked
+            rest = tkey[len(root) + 1:]
+            tkeys = [f"{root}.{i}.{rest}" for i in range(depth)]
+            absent = [k for k in tkeys if k not in state_dict]
+            if absent:
+                missing.extend(absent)
+                continue
+            arrs = [_to_jax(owner, attr, np.asarray(state_dict[k]), var.shape) for k in tkeys]
+            arr = np.stack(arrs)
+            cur = var[...]
+            if arr.shape != cur.shape:
+                raise ValueError(f"Shape mismatch for {root}.*.{rest}: torch {arr.shape} vs module {cur.shape}")
+            var[...] = jnp.asarray(arr, dtype=cur.dtype)
+            used.update(tkeys)
+            continue
         if tkey not in state_dict:
             missing.append(tkey)
             continue
@@ -125,7 +165,16 @@ def load_torch_state_dict(
 def state_dict_from_module(module: nnx.Module) -> Dict[str, np.ndarray]:
     "Export the module's params as a torch-layout state dict (numpy arrays)."
     out = {}
+    roots = _stacked_roots(module)
     for dotted, owner, attr, var in _leaf_entries(module):
         tkey = torch_key_for(dotted, owner, attr)
+        stacked = _stacked_root_for(dotted, roots)
+        if stacked is not None:
+            root, depth = stacked
+            rest = tkey[len(root) + 1:]
+            arr = np.asarray(var[...])
+            for i in range(depth):
+                out[f"{root}.{i}.{rest}"] = _from_jax(owner, attr, arr[i])
+            continue
         out[tkey] = _from_jax(owner, attr, np.asarray(var[...]))
     return out

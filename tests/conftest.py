@@ -34,6 +34,22 @@ REFERENCE_PATH = "/root/reference"
 def pytest_addoption(parser):
     parser.addoption("--encoder-name", action="store", default=None, help="run encoder tests for a single encoder")
     parser.addoption("--device", action="store", default="cpu", help="cpu or tpu")
+    parser.addoption("--run-slow", action="store_true", default=False, help="run slow full-size parity gates")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running full-size parity gate (enable with --run-slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--run-slow") or os.environ.get("UNICEPTION_TPU_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --run-slow or set UNICEPTION_TPU_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 def has_reference() -> bool:

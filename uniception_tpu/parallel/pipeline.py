@@ -1,0 +1,112 @@
+"""
+Pipeline parallelism (GPipe-style) over depth-stacked transformer blocks.
+
+The reference has no pipeline parallelism (SURVEY.md §2.8); this is the
+TPU-native extension the scan-over-stacked-blocks layout (nn/scan.py) was
+built to enable: the stacked depth axis is sharded over a mesh "stage"
+axis, each stage runs its contiguous slab of blocks, and boundary
+activations travel stage-to-stage over ICI via ``jax.lax.ppermute`` while
+microbatches keep every stage busy (bubble fraction (S-1)/(M+S-1)).
+
+Everything runs inside one ``jax.shard_map`` — XLA sees a static schedule
+of per-stage compute + point-to-point collectives, exactly the
+scaling-book pipeline recipe.
+
+Usage:
+    mesh = Mesh(devices, ("stage",))
+    out = pipeline_blocks(stacked_blocks, x, pos, mesh=mesh,
+                          num_microbatches=4)
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["pipeline_blocks", "shard_stacked_state"]
+
+
+def shard_stacked_state(stacked: nnx.Module, mesh: Mesh, stage_axis: str = "stage") -> None:
+    """Device-put the stacked block params sharded along depth over the
+    stage axis (in place). Each stage then holds depth/S blocks in HBM —
+    the memory win that makes PP worth it for models deeper than a chip."""
+    spec = NamedSharding(mesh, P(stage_axis))
+    state = nnx.state(stacked)
+    state = jax.tree.map(lambda a: jax.device_put(a, spec), state)
+    nnx.update(stacked, state)
+
+
+def pipeline_blocks(
+    stacked: nnx.Module,
+    x: jnp.ndarray,
+    *broadcast_args,
+    mesh: Mesh,
+    stage_axis: str = "stage",
+    num_microbatches: Optional[int] = None,
+):
+    """Run depth-stacked blocks (nn/scan.py layout) as a GPipe pipeline.
+
+    x: (B, ...) activations; B must divide by num_microbatches.
+    broadcast_args: extra per-sample block inputs (e.g. RoPE positions,
+        (B, N, 2)) — microbatched alongside x.
+    Semantics match ``scan_blocks(stacked, x, *broadcast_args)`` exactly;
+    only the execution schedule differs.
+    """
+    depth = stacked.stacked_depth
+    num_stages = mesh.shape[stage_axis]
+    assert depth % num_stages == 0, f"depth {depth} not divisible by {num_stages} stages"
+    batch = x.shape[0]
+    M = num_microbatches or num_stages
+    assert batch % M == 0, f"batch {batch} not divisible by {M} microbatches"
+
+    graphdef, state = nnx.split(stacked)
+
+    def to_microbatches(a):
+        return a.reshape(M, batch // M, *a.shape[1:])
+
+    xm = to_microbatches(x)
+    argsm = tuple(to_microbatches(a) for a in broadcast_args)
+
+    def stage_fn(local_state, mb, args_mb):
+        def body(c, block_state):
+            blk = nnx.merge(graphdef, block_state)
+            return blk(c, *args_mb), None
+
+        out, _ = jax.lax.scan(body, mb, local_state)
+        return out
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(stage_axis), state), P(), P()),
+        out_specs=P(),
+    )
+    def run(local_state, xm, argsm):
+        s_idx = jax.lax.axis_index(stage_axis)
+        S = num_stages
+        mb_shape = xm.shape[1:]
+        recv = jnp.zeros(mb_shape, xm.dtype)
+        outs = jnp.zeros((M,) + mb_shape, xm.dtype)
+        # static schedule: step t runs microbatch (t - s) on stage s
+        for t in range(M + S - 1):
+            m_in = min(t, M - 1)  # stage 0's input index (masked when t >= M)
+            inp = jnp.where(s_idx == 0, xm[m_in], recv)
+            # stage s processes microbatch t - s at step t; its broadcast
+            # args (RoPE positions etc.) must come from that microbatch
+            m_here = jnp.clip(t - s_idx, 0, M - 1)
+            args_mb = tuple(a[m_here] for a in argsm)
+            y = stage_fn(local_state, inp, args_mb)
+            if S > 1:
+                recv = jax.lax.ppermute(y, stage_axis, [(i, i + 1) for i in range(S - 1)])
+            m_out = t - (S - 1)  # microbatch finishing on the LAST stage at step t
+            if m_out >= 0:
+                outs = outs.at[m_out].set(y)
+        # only the last stage's outs are real; broadcast them to all stages
+        outs = jax.lax.psum(jnp.where(s_idx == S - 1, outs, jnp.zeros_like(outs)), stage_axis)
+        return outs
+
+    outs = run(state, xm, argsm)
+    return outs.reshape(batch, *x.shape[1:])

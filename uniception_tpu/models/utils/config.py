@@ -21,6 +21,8 @@ import warnings
 __all__ = [
     "get_attention_impl",
     "set_attention_impl",
+    "get_attention_quant",
+    "set_attention_quant",
     "use_fused_attn",
     "set_fused_attn",
     "get_gelu_mode",
@@ -72,6 +74,31 @@ def set_gelu_mode(mode: str):
     if mode not in ("exact", "tanh"):
         raise ValueError(f"Invalid gelu mode {mode!r}")
     _GELU_MODE = mode
+
+
+# Attention quantization mode (Pallas flash kernel, inference-only):
+#   "none"   — bf16 QK^T and PV (default)
+#   "int8"   — int8 QK^T (per-row q / per-block smoothed k scales), bf16 PV
+#   "int8pv" — int8 QK^T and int8 PV (p in [0,1] -> fixed 1/127 scale)
+# Env var UNICEPTION_TPU_ATTN_QUANT or set_attention_quant(). Applies only
+# to the single-k-step inference kernel; training (lse path) stays bf16.
+_ATTN_QUANT = os.environ.get("UNICEPTION_TPU_ATTN_QUANT", "none")
+if _ATTN_QUANT not in ("none", "int8", "int8pv"):
+    warnings.warn(f"Invalid UNICEPTION_TPU_ATTN_QUANT={_ATTN_QUANT!r}; falling back to 'none'")
+    _ATTN_QUANT = "none"
+
+
+def get_attention_quant() -> str:
+    "Return the attention quantization mode ('none', 'int8' or 'int8pv')."
+    return _ATTN_QUANT
+
+
+def set_attention_quant(mode: str):
+    "Select the attention quantization mode ('none', 'int8' or 'int8pv')."
+    global _ATTN_QUANT
+    if mode not in ("none", "int8", "int8pv"):
+        raise ValueError(f"Invalid attention quant mode {mode!r}")
+    _ATTN_QUANT = mode
 
 
 # --- reference-API compatibility shims (uniception/models/utils/config.py:20-34) ---

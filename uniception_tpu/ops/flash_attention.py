@@ -127,6 +127,65 @@ def _fa_single_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k,
         lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
+def _fa_single_kernel_int8(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k, pv_int8):
+    """Int8 single-k-step forward (SageAttention-style, inference only).
+
+    Quantization happens INSIDE the kernel (no layout/host changes):
+        * K smoothing: k -= mean_k(k). q·mean_k is constant per query row, so
+          the softmax is invariant — this removes K outliers for free
+          (valid only because all keys sit in this one block).
+        * q: per-row symmetric int8 (row abs-max / 127).
+        * k: per-block scalar int8 (post-smoothing abs-max / 127).
+        * QK^T runs int8xint8->int32 on the MXU (2x the bf16 rate on v5e).
+        * pv_int8: p in [0, 1] by construction -> p_q = round(p * 127);
+          v per-block scalar int8; PV also int8 (dequant is one scalar).
+          Otherwise PV stays bf16.
+
+    The quantization itself is VPU work on (N, D) tiles — negligible next
+    to the (BQ, BK) score math.
+    """
+    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
+    if kv_len % block_k != 0:
+        # exclude padded rows from the k statistics
+        krow = jax.lax.broadcasted_iota(jnp.int32, k.shape, dimension=0)
+        kvalid = krow < kv_len
+        k_for_stats = jnp.where(kvalid, k, 0.0)
+        k_mean = jnp.sum(k_for_stats, axis=0, keepdims=True) / kv_len
+        k = jnp.where(kvalid, k - k_mean, 0.0)
+    else:
+        k = k - jnp.mean(k, axis=0, keepdims=True)
+
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True), 1e-30) / 127.0  # (BQ, 1)
+    q8 = jnp.round(q / qs).astype(jnp.int8)
+    ks = jnp.maximum(jnp.max(jnp.abs(k)), 1e-30) / 127.0  # scalar
+    k8 = jnp.round(k / ks).astype(jnp.int8)
+
+    s32 = jax.lax.dot_general(q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * (qs * (ks * scale))  # (BQ, BK)
+
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0, 0]
+    if pv_int8:
+        vf = v.astype(jnp.float32)
+        vs = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-30) / 127.0
+        v8 = jnp.round(vf / vs).astype(jnp.int8)
+        p8 = jnp.round(p * 127.0).astype(jnp.int8)
+        pv32 = jax.lax.dot_general(p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        pv = pv32.astype(jnp.float32) * (vs / 127.0)
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -192,8 +251,19 @@ def _flash_attention_impl(q, k, v, scale, block_q, block_k, with_lse=True):
     )
 
     if single_k:
+        from uniception_tpu.models.utils.config import get_attention_quant
+
+        quant = get_attention_quant() if not with_lse else "none"  # int8 is inference-only
+        if quant in ("int8", "int8pv") and q.dtype != jnp.float32:
+            kernel = functools.partial(
+                _fa_single_kernel_int8, scale=scale, kv_len=Nk, block_k=bk, pv_int8=(quant == "int8pv")
+            )
+        else:
+            kernel = functools.partial(
+                _fa_single_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision, with_lse=with_lse
+            )
         results = pl.pallas_call(
-            functools.partial(_fa_single_kernel, scale=scale, kv_len=Nk, block_k=bk, precision=precision, with_lse=with_lse),
+            kernel,
             grid=(B, H, nq_pad // bq),
             in_specs=in_specs,
             out_specs=tuple(out_specs) if with_lse else out_specs[0],

@@ -1,99 +1,82 @@
-"""Pipeline parallelism (parallel/pipeline.py): GPipe schedule over
-depth-stacked blocks matches the sequential scan exactly, on a multi-stage
-CPU mesh (the TPU-native multi-chip test strategy, SURVEY.md §4)."""
+"""
+Input pipeline: prefetch staging, sharded placement, batch iteration.
+"""
 
 import numpy as np
 import pytest
-from flax import nnx
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh
 
-from uniception_tpu.nn.blocks import SelfAttentionBlock
-from uniception_tpu.nn.scan import make_stacked_blocks, scan_blocks
-from uniception_tpu.ops.rope import Rope2D
-from uniception_tpu.parallel.pipeline import pipeline_blocks, shard_stacked_state
+from uniception_tpu.data.pipeline import epoch_batches, normalize_batch, prefetch_to_device
+from uniception_tpu.parallel.mesh import make_mesh
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
 
-def _mesh(n):
-    return Mesh(np.asarray(jax.devices()[:n]), ("stage",))
-
-
-def _stacked(depth, dim=32, heads=4, rope=False, seed=0):
-    pe = Rope2D(100.0) if rope else None
-    return make_stacked_blocks(
-        depth,
-        lambda r: SelfAttentionBlock(dim=dim, num_heads=heads, custom_positional_encoding=pe, rngs=r),
-        nnx.Rngs(seed),
-    )
-
-
-@pytest.mark.parametrize("stages,microbatches", [(4, 4), (4, 2), (2, 8)])
-def test_pipeline_matches_scan(stages, microbatches):
-    stacked = _stacked(depth=8)
-    x = jnp.asarray(np.random.RandomState(0).randn(8, 16, 32).astype(np.float32))
-    ref = scan_blocks(stacked, x)
-    mesh = _mesh(stages)
-    out = pipeline_blocks(stacked, x, mesh=mesh, num_microbatches=microbatches)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
-
-
-def test_pipeline_with_broadcast_args_rope():
-    "Per-microbatch broadcast args (RoPE positions) route to the right stage."
-    stacked = _stacked(depth=4, rope=True)
-    rng = np.random.RandomState(1)
-    B, N, C = 4, 16, 32
-    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
-    # DIFFERENT positions per sample so a mis-routed microbatch is caught
-    pos = jnp.asarray(rng.randint(0, 7, (B, N, 2)).astype(np.int32))
-    ref = scan_blocks(stacked, x, pos)
-    out = pipeline_blocks(stacked, x, pos, mesh=_mesh(4), num_microbatches=4)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
-
-
-def test_pipeline_under_jit_with_sharded_params():
-    stacked = _stacked(depth=8)
-    mesh = _mesh(4)
-    shard_stacked_state(stacked, mesh)  # params live sharded along depth
-    x = jnp.asarray(np.random.RandomState(2).randn(4, 16, 32).astype(np.float32))
-    ref = scan_blocks(stacked, x)
-
-    graphdef, state = nnx.split(stacked)
-
-    @jax.jit
-    def f(state, x):
-        m = nnx.merge(graphdef, state)
-        return pipeline_blocks(m, x, mesh=mesh, num_microbatches=4)
-
-    out = f(state, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
-
-
-def test_pipeline_croco_encoder():
-    "Model-path integration: CroCo scan encoder blocks run pipelined."
-    from uniception_tpu.models.encoders.base import ViTEncoderInput
-    from uniception_tpu.models.encoders.croco import CroCoEncoder
-
-    enc = CroCoEncoder(
-        name="pp",
-        data_norm_type="dust3r",
-        patch_embed_cls="PatchEmbedDust3R",
-        img_size=(64, 64),
-        enc_embed_dim=96,
-        enc_depth=4,
-        enc_num_heads=4,
-        scan_blocks=True,
-        rngs=nnx.Rngs(0),
-    )
+def test_prefetch_shards_batches():
+    mesh = make_mesh(data=8, model=1)
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randn(4, 3, 64, 64).astype(np.float32))
-    inp = ViTEncoderInput(image=img, data_norm_type="dust3r")
-    ref = enc(inp).features
+    data = {"img": rng.randn(32, 3, 8, 8).astype(np.float32), "y": rng.randn(32, 4).astype(np.float32)}
 
-    feats, pos, (h, w) = enc._embed(inp)
-    out = pipeline_blocks(enc.enc_blocks, feats, pos, mesh=_mesh(4), num_microbatches=4)
-    out = enc._to_bchw(enc.enc_norm(out), h, w)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+    batches = list(epoch_batches(data, batch_size=8, rng=np.random.RandomState(1)))
+    assert len(batches) == 4
+
+    staged = list(prefetch_to_device(batches, mesh=mesh))
+    assert len(staged) == 4
+    for b in staged:
+        assert b["img"].shape == (8, 3, 8, 8)
+        assert len(b["img"].sharding.device_set) == 8
+    # content preserved
+    total_in = np.sort(np.concatenate([np.asarray(b["y"]).ravel() for b in batches]))
+    total_out = np.sort(np.concatenate([np.asarray(b["y"]).ravel() for b in staged]))
+    np.testing.assert_allclose(total_in, total_out)
+
+
+def test_normalize_batch():
+    imgs = (np.ones((2, 8, 8, 3)) * 127).astype(np.uint8)
+    out = normalize_batch(imgs, "dust3r")
+    assert out.shape == (2, 3, 8, 8)
+    # dust3r norm: (x - 0.5) / 0.5 -> 127/255*2-1 ~ -0.004
+    assert abs(out.mean() - (127 / 255 * 2 - 1)) < 1e-5
+
+
+def test_native_preprocess_matches_numpy():
+    from uniception_tpu.models.encoders.image_normalizations import normalize_image
+    from uniception_tpu.native import load_preprocess
+
+    lib = load_preprocess()
+    if lib is None:
+        pytest.skip("no C++ compiler available")
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(3, 17, 23, 3), dtype=np.uint8)
+    native = normalize_batch(imgs, "croco")
+    ref = normalize_image(imgs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0, "croco")
+    assert native.shape == (3, 3, 17, 23)
+    np.testing.assert_allclose(native, np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_native_preprocess_speed():
+    "Native path must not be slower than numpy (sanity, generous margin)."
+    import time
+
+    from uniception_tpu.native import load_preprocess
+
+    if load_preprocess() is None:
+        pytest.skip("no C++ compiler available")
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(8, 512, 512, 3), dtype=np.uint8)
+    normalize_batch(imgs, "dust3r")  # warm (compiles lib on first call)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        normalize_batch(imgs, "dust3r")
+    native_t = time.perf_counter() - t0
+
+    from uniception_tpu.models.encoders.image_normalizations import normalize_image
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        normalize_image(imgs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0, "dust3r").astype(np.float32)
+    numpy_t = time.perf_counter() - t0
+    print(f"native {native_t*200:.1f}ms/batch numpy {numpy_t*200:.1f}ms/batch")
+    assert native_t < numpy_t * 1.5

@@ -1,0 +1,99 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe schedule over
+depth-stacked blocks matches the sequential scan exactly, on a multi-stage
+CPU mesh (the TPU-native multi-chip test strategy, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from uniception_tpu.nn.blocks import SelfAttentionBlock
+from uniception_tpu.nn.scan import make_stacked_blocks, scan_blocks
+from uniception_tpu.ops.rope import Rope2D
+from uniception_tpu.parallel.pipeline import pipeline_blocks, shard_stacked_state
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("stage",))
+
+
+def _stacked(depth, dim=32, heads=4, rope=False, seed=0):
+    pe = Rope2D(100.0) if rope else None
+    return make_stacked_blocks(
+        depth,
+        lambda r: SelfAttentionBlock(dim=dim, num_heads=heads, custom_positional_encoding=pe, rngs=r),
+        nnx.Rngs(seed),
+    )
+
+
+@pytest.mark.parametrize("stages,microbatches", [(4, 4), (4, 2), (2, 8)])
+def test_pipeline_matches_scan(stages, microbatches):
+    stacked = _stacked(depth=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 16, 32).astype(np.float32))
+    ref = scan_blocks(stacked, x)
+    mesh = _mesh(stages)
+    out = pipeline_blocks(stacked, x, mesh=mesh, num_microbatches=microbatches)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_pipeline_with_broadcast_args_rope():
+    "Per-microbatch broadcast args (RoPE positions) route to the right stage."
+    stacked = _stacked(depth=4, rope=True)
+    rng = np.random.RandomState(1)
+    B, N, C = 4, 16, 32
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    # DIFFERENT positions per sample so a mis-routed microbatch is caught
+    pos = jnp.asarray(rng.randint(0, 7, (B, N, 2)).astype(np.int32))
+    ref = scan_blocks(stacked, x, pos)
+    out = pipeline_blocks(stacked, x, pos, mesh=_mesh(4), num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_pipeline_under_jit_with_sharded_params():
+    stacked = _stacked(depth=8)
+    mesh = _mesh(4)
+    shard_stacked_state(stacked, mesh)  # params live sharded along depth
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 16, 32).astype(np.float32))
+    ref = scan_blocks(stacked, x)
+
+    graphdef, state = nnx.split(stacked)
+
+    @jax.jit
+    def f(state, x):
+        m = nnx.merge(graphdef, state)
+        return pipeline_blocks(m, x, mesh=mesh, num_microbatches=4)
+
+    out = f(state, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_pipeline_croco_encoder():
+    "Model-path integration: CroCo scan encoder blocks run pipelined."
+    from uniception_tpu.models.encoders.base import ViTEncoderInput
+    from uniception_tpu.models.encoders.croco import CroCoEncoder
+
+    enc = CroCoEncoder(
+        name="pp",
+        data_norm_type="dust3r",
+        patch_embed_cls="PatchEmbedDust3R",
+        img_size=(64, 64),
+        enc_embed_dim=96,
+        enc_depth=4,
+        enc_num_heads=4,
+        scan_blocks=True,
+        rngs=nnx.Rngs(0),
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(4, 3, 64, 64).astype(np.float32))
+    inp = ViTEncoderInput(image=img, data_norm_type="dust3r")
+    ref = enc(inp).features
+
+    feats, pos, (h, w) = enc._embed(inp)
+    out = pipeline_blocks(enc.enc_blocks, feats, pos, mesh=_mesh(4), num_microbatches=4)
+    out = enc._to_bchw(enc.enc_norm(out), h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)

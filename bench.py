@@ -55,6 +55,7 @@ def main():
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type="linear",
         dtype=jnp.bfloat16,
+        scan_blocks=os.environ.get("BENCH_SCAN") == "1",  # trace-once trunk (same math)
         rngs=nnx.Rngs(0),
     )
     graphdef, state = nnx.split(model)

@@ -54,13 +54,21 @@ def main():
         def f(state, a, b):
             m = nnx.merge(graphdef, state)
             r1, r2 = m.forward_pair(a, b)
-            return r1["pts3d"], r1["conf"]
+            # trunk (encoder) feature map as well: with RANDOM weights the
+            # exp pointmap adaptor amplifies tiny trunk noise into large
+            # absolute output error (even pure bf16 fails the abs gate), so
+            # feature-space error is the meaningful precision metric here;
+            # trained-weight golden parity needs downloaded checkpoints.
+            from uniception_tpu.models.encoders.base import ViTEncoderInput
 
-        pts, conf = f(state, img1, img2)
-        return np.asarray(pts, np.float32), np.asarray(conf, np.float32)
+            feat = m.encoder(ViTEncoderInput(image=a, data_norm_type=m.data_norm_type)).features
+            return r1["pts3d"], r1["conf"], feat.astype(jnp.float32)
+
+        pts, conf, feat = f(state, img1, img2)
+        return np.asarray(pts, np.float32), np.asarray(conf, np.float32), np.asarray(feat, np.float32)
 
     with jax.default_matmul_precision("highest"):
-        ref_pts, ref_conf = run(build(jnp.float32))
+        ref_pts, ref_conf, ref_feat = run(build(jnp.float32))
 
     results = {}
     # bf16 serving path
@@ -74,8 +82,8 @@ def main():
     print(f"int8-quantized {n_q} trunk linears")
     results["int8"] = run(m)
 
-    for name, (pts, conf) in results.items():
-        for tag, out, ref in (("pts3d", pts, ref_pts), ("conf", conf, ref_conf)):
+    for name, (pts, conf, feat) in results.items():
+        for tag, out, ref in (("pts3d", pts, ref_pts), ("conf", conf, ref_conf), ("trunk_feat", feat, ref_feat)):
             abs_err = np.abs(out - ref).max()
             rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
             print(f"{name} vs fp32-highest  {tag}: abs={abs_err:.3e} rel={rel:.3e}")

@@ -76,6 +76,25 @@ def test_quantized_block_feature_accuracy():
     assert rel < 2e-2, rel
 
 
+def test_quantize_composes_with_scan_blocks():
+    "Depth-stacked (scan-layout) linears quantize along the right axis."
+    from uniception_tpu.nn.scan import make_stacked_blocks, scan_blocks
+
+    stacked = make_stacked_blocks(3, lambda r: SelfAttentionBlock(dim=64, num_heads=4, rngs=r), nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64).astype(np.float32))
+    ref = scan_blocks(stacked, x)
+    n = quantize_linears(stacked, min_params=1)
+    assert n == 4
+    assert stacked.attn.qkv.w_q[...].shape == (3, 64, 192)
+    assert stacked.attn.qkv.w_scale[...].shape == (3, 1, 192)
+    out = scan_blocks(stacked, x)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-2, rel
+    # per-depth scales must differ (they came from different weights)
+    s = np.asarray(stacked.attn.qkv.w_scale[...])
+    assert not np.allclose(s[0], s[1])
+
+
 def test_quantized_block_jits_and_is_deterministic():
     blk = SelfAttentionBlock(dim=128, num_heads=4, rngs=nnx.Rngs(0))
     quantize_linears(blk, min_params=1)

@@ -72,6 +72,30 @@ def test_pipeline_under_jit_with_sharded_params():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+def test_pipeline_gradients_match_scan():
+    "PP is training-capable: autodiff through the shard_map/ppermute schedule."
+    stacked = _stacked(depth=4, dim=32)
+    graphdef, params, rest = nnx.split(stacked, nnx.Param, ...)
+    x = jnp.asarray(np.random.RandomState(3).randn(4, 8, 32).astype(np.float32))
+    mesh = _mesh(4)
+
+    def loss_scan(params, x):
+        m = nnx.merge(graphdef, params, rest)
+        return (scan_blocks(m, x) ** 2).sum()
+
+    def loss_pp(params, x):
+        m = nnx.merge(graphdef, params, rest)
+        return (pipeline_blocks(m, x, mesh=mesh, num_microbatches=4) ** 2).sum()
+
+    ref = jax.grad(loss_scan)(params, x)
+    out = jax.grad(loss_pp)(params, x)
+    flat_ref, _ = jax.tree.flatten(ref)
+    flat_out, _ = jax.tree.flatten(out)
+    for a, b in zip(flat_ref, flat_out):
+        if a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
+
+
 def test_pipeline_croco_encoder():
     "Model-path integration: CroCo scan encoder blocks run pipelined."
     from uniception_tpu.models.encoders.base import ViTEncoderInput

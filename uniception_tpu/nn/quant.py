@@ -51,15 +51,19 @@ class Int8Linear(nnx.Module):
     """
 
     def __init__(self, w_q: jnp.ndarray, w_scale: jnp.ndarray, bias: Optional[jnp.ndarray]):
-        self.w_q = nnx.Param(w_q)  # (in, out) int8
-        self.w_scale = nnx.Param(w_scale)  # (1, out) f32
+        self.w_q = nnx.Param(w_q)  # (in, out) int8 — or (depth, in, out) when depth-stacked
+        self.w_scale = nnx.Param(w_scale)  # (1, out) f32 — or (depth, 1, out)
         self.bias = nnx.Param(bias) if bias is not None else None
-        self.in_features = int(w_q.shape[0])
-        self.out_features = int(w_q.shape[1])
+        self.in_features = int(w_q.shape[-2])
+        self.out_features = int(w_q.shape[-1])
 
     @classmethod
     def from_linear(cls, lin: nnx.Linear) -> "Int8Linear":
-        w_q, w_scale = quantize_int8(lin.kernel[...], axis=0)
+        # axis=-2 is the input-features axis for both a plain (in, out)
+        # kernel and a depth-stacked (depth, in, out) one (nn/scan.py);
+        # a lax.scan over the stacked layout slices axis 0, handing
+        # __call__ the same per-step (in, out) int8 + (1, out) scale views.
+        w_q, w_scale = quantize_int8(lin.kernel[...], axis=-2)
         bias = lin.bias[...].astype(jnp.float32) if lin.bias is not None else None
         return cls(w_q, w_scale, bias)
 

@@ -49,11 +49,12 @@ def main():
     # measured full-model bound is recorded in BASELINE.md.
     QUANT = os.environ.get("BENCH_QUANT", "int8")
 
+    HEAD = os.environ.get("BENCH_HEAD", "linear")  # linear | dpt (the reference's flagship 512-dpt)
     model = DUSt3R(
-        name="dust3r_512_linear",
+        name=f"dust3r_512_{HEAD}",
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
-        pred_head_type="linear",
+        pred_head_type=HEAD,
         dtype=jnp.bfloat16,
         scan_blocks=os.environ.get("BENCH_SCAN") == "1",  # trace-once trunk (same math)
         rngs=nnx.Rngs(0),
@@ -118,7 +119,7 @@ def main():
     baseline_pairs_per_sec = 312e12 * 0.40 / flops_per_pair  # A100 fp16 @ 40% MFU
 
     result = {
-        "metric": "dust3r_vitl_512_linear_pairs_per_sec",
+        "metric": f"dust3r_vitl_{IMG}_{HEAD}_pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),

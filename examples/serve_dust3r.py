@@ -43,6 +43,7 @@ def parse_args():
     p.add_argument("--enc-depth", type=int, default=24)
     p.add_argument("--enc-dim", type=int, default=1024)
     p.add_argument("--enc-heads", type=int, default=16)
+    p.add_argument("--int8", action="store_true", help="w8a8-quantize the trunk linears (production serving config)")
     return p.parse_args()
 
 
@@ -90,6 +91,13 @@ def main():
     )
     graphdef, state = nnx.split(model)
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+    if args.int8:
+        from uniception_tpu.nn.quant import quantize_linears
+
+        model = nnx.merge(graphdef, state)
+        n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
+        print(f"int8-quantized {n_q} trunk linears")
+        graphdef, state = nnx.split(model)
 
     from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT
 

@@ -44,6 +44,13 @@ def main():
     )
     graphdef, state = nnx.split(model)
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+    if os.environ.get("BENCH_QUANT", "int8") == "int8":
+        from uniception_tpu.nn.quant import quantize_linears
+
+        model = nnx.merge(graphdef, state)
+        n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
+        print(f"int8-quantized {n_q} trunk linears", file=sys.stderr)
+        graphdef, state = nnx.split(model)
 
     def one(state, views, carry):
         m = nnx.merge(graphdef, state)

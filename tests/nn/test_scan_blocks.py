@@ -173,3 +173,26 @@ def test_scan_remat_matches():
     load_torch_state_dict(remat, state_dict_from_module(base))
     inp = _input(5, b=1)
     np.testing.assert_allclose(np.asarray(remat(inp).features), np.asarray(base(inp).features), atol=1e-6)
+
+
+def test_vit_trunk_scan_matches_loop():
+    "DinoVisionTransformer scan layout: forward + intermediates + truncation."
+    from uniception_tpu.models.encoders.vit import DinoVisionTransformer
+
+    cfg = dict(img_size=28, patch_size=14, embed_dim=64, depth=4, num_heads=4, num_register_tokens=2)
+    loop = DinoVisionTransformer(rngs=nnx.Rngs(0), **cfg)
+    scan = DinoVisionTransformer(rngs=nnx.Rngs(1), scan_blocks=True, **cfg)
+    missing, unexpected = load_torch_state_dict(scan, state_dict_from_module(loop))
+    assert not missing and not unexpected, (missing, unexpected)
+
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 3, 28, 28).astype(np.float32))
+    ref_x, ref_col, _ = loop.forward_tokens(img, collect_indices=(1, 3))
+    out_x, out_col, _ = scan.forward_tokens(img, collect_indices=(1, 3))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x), atol=2e-5, rtol=1e-5)
+    for i in (1, 3):
+        np.testing.assert_allclose(np.asarray(out_col[i]), np.asarray(ref_col[i]), atol=2e-5, rtol=1e-5)
+
+    # keep_first_n_layers-style truncation
+    ref_t, _, _ = loop.forward_tokens(img, n_blocks=2)
+    out_t, _, _ = scan.forward_tokens(img, n_blocks=2)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=2e-5, rtol=1e-5)

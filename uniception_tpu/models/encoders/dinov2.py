@@ -41,6 +41,7 @@ class DINOv2Encoder(UniCeptionViTEncoderBase):
         pretrained_checkpoint_path: Optional[str] = None,
         gradient_checkpointing: bool = False,
         keep_first_n_layers: Optional[int] = None,
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -66,13 +67,22 @@ class DINOv2Encoder(UniCeptionViTEncoderBase):
             img_size=518,
             patch_size=patch_size,
             num_register_tokens=4 if with_registers else 0,
+            scan_blocks=scan_blocks,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
             **cfg,
         )
         if keep_first_n_layers is not None:
-            self.model.blocks = nnx.List(list(self.model.blocks)[:keep_first_n_layers])
+            if scan_blocks:
+                # truncate the stacked depth axis (dinov2.py:117 semantics)
+                import jax
+
+                graphdef, state = nnx.split(self.model.blocks)
+                self.model.blocks = nnx.merge(graphdef, jax.tree.map(lambda a: a[:keep_first_n_layers], state))
+                self.model.blocks.stacked_depth = keep_first_n_layers
+            else:
+                self.model.blocks = nnx.List(list(self.model.blocks)[:keep_first_n_layers])
             self.model.depth = keep_first_n_layers
         if not norm_returned_features:
             self.model.norm = Identity()

@@ -22,6 +22,7 @@ from flax import nnx
 
 from uniception_tpu.nn.blocks import Mlp, SelfAttentionBlock, SwiGLUFFNFused, layer_norm_factory
 from uniception_tpu.nn.common import trunc_normal
+from uniception_tpu.nn.scan import make_stacked_blocks
 from uniception_tpu.ops.resize import interpolate
 
 __all__ = ["DinoVisionTransformer", "DINO_VIT_CONFIGS"]
@@ -78,6 +79,7 @@ class DinoVisionTransformer(nnx.Module):
         interpolate_offset: float = 0.1,
         interpolate_antialias: bool = False,
         ffn_layer: str = "mlp",
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -104,23 +106,29 @@ class DinoVisionTransformer(nnx.Module):
             self.register_tokens = None
 
         mlp_layer = {"mlp": Mlp, "swiglufused": SwiGLUFFNFused}[ffn_layer]
-        self.blocks = nnx.List(
-            [
-                SelfAttentionBlock(
-                    dim=embed_dim,
-                    num_heads=num_heads,
-                    mlp_ratio=mlp_ratio,
-                    qkv_bias=qkv_bias,
-                    init_values=init_values,
-                    norm_layer=norm_layer,
-                    mlp_layer=mlp_layer,
-                    dtype=dtype,
-                    param_dtype=param_dtype,
-                    rngs=rngs,
-                )
-                for _ in range(depth)
-            ]
-        )
+
+        def make_block(r: nnx.Rngs) -> SelfAttentionBlock:
+            return SelfAttentionBlock(
+                dim=embed_dim,
+                num_heads=num_heads,
+                mlp_ratio=mlp_ratio,
+                qkv_bias=qkv_bias,
+                init_values=init_values,
+                norm_layer=norm_layer,
+                mlp_layer=mlp_layer,
+                dtype=dtype,
+                param_dtype=param_dtype,
+                rngs=r,
+            )
+
+        # scan_blocks: depth-stacked params + lax.scan (trace-once compiles,
+        # pipeline-parallel-ready — nn/scan.py); torch checkpoints load into
+        # either layout (utils/torch_compat.py stacked key mapping).
+        self.scan_blocks = scan_blocks
+        if scan_blocks:
+            self.blocks = make_stacked_blocks(depth, make_block, rngs)
+        else:
+            self.blocks = nnx.List([make_block(rngs) for _ in range(depth)])
         self.norm = norm_layer(embed_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
     # --- positional embedding ---------------------------------------------
@@ -153,11 +161,25 @@ class DinoVisionTransformer(nnx.Module):
         "Run the trunk; optionally collect intermediate (pre-norm) token sets."
         x, (hp, wp) = self.prepare_tokens(image_bchw)
         collected = {}
-        n_blocks = n_blocks if n_blocks is not None else len(self.blocks)
-        for i, blk in enumerate(self.blocks[:n_blocks]):
-            x = blk(x)
-            if i in collect_indices:
-                collected[i] = x
+        n_blocks = n_blocks if n_blocks is not None else self.depth
+        if self.scan_blocks:
+            import jax
+
+            graphdef, state = nnx.split(self.blocks)
+            if n_blocks != self.depth:
+                state = jax.tree.map(lambda a: a[:n_blocks], state)
+
+            def body(c, block_state):
+                out = nnx.merge(graphdef, block_state)(c)
+                return out, out
+
+            x, ys = jax.lax.scan(body, x, state)
+            collected = {i: ys[i] for i in collect_indices if i < n_blocks}
+        else:
+            for i, blk in enumerate(self.blocks[:n_blocks]):
+                x = blk(x)
+                if i in collect_indices:
+                    collected[i] = x
         return x, collected, (hp, wp)
 
     def split_tokens(self, x):

@@ -196,3 +196,71 @@ def test_vit_trunk_scan_matches_loop():
     ref_t, _, _ = loop.forward_tokens(img, n_blocks=2)
     out_t, _, _ = scan.forward_tokens(img, n_blocks=2)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=2e-5, rtol=1e-5)
+
+
+def test_global_attention_scan_matches_loop():
+    from uniception_tpu.models.info_sharing.base import MultiViewTransformerInput
+    from uniception_tpu.models.info_sharing.global_attention_transformer import (
+        MultiViewGlobalAttentionTransformer,
+        MultiViewGlobalAttentionTransformerIFR,
+    )
+
+    cfg = dict(
+        name="g", input_embed_dim=48, depth=4, dim=32, num_heads=4,
+        distinguish_ref_and_non_ref_views=True, use_pe_for_non_reference_views=True,
+        max_num_views_for_pe=8, use_rand_idx_pe_for_non_reference_views=False,
+    )
+    loop = MultiViewGlobalAttentionTransformer(rngs=nnx.Rngs(0), **cfg)
+    scan = MultiViewGlobalAttentionTransformer(rngs=nnx.Rngs(1), scan_blocks=True, **cfg)
+    missing, unexpected = load_torch_state_dict(scan, state_dict_from_module(loop))
+    assert not missing and not unexpected, (missing, unexpected)
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(2, 48, 4, 4).astype(np.float32)) for _ in range(3)]
+    ref = loop(MultiViewTransformerInput(features=feats))
+    out = scan(MultiViewTransformerInput(features=feats))
+    for a, b in zip(ref.features, out.features):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-5)
+
+    loop_i = MultiViewGlobalAttentionTransformerIFR(rngs=nnx.Rngs(0), indices=[1, 3], **cfg)
+    scan_i = MultiViewGlobalAttentionTransformerIFR(rngs=nnx.Rngs(1), indices=[1, 3], scan_blocks=True, **cfg)
+    load_torch_state_dict(scan_i, state_dict_from_module(loop_i))
+    ref_f, ref_inter = loop_i(MultiViewTransformerInput(features=feats))
+    out_f, out_inter = scan_i(MultiViewTransformerInput(features=feats))
+    for ri, oi in zip(ref_inter, out_inter):
+        for a, b in zip(ri.features, oi.features):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-5)
+
+
+def test_alternating_attention_scan_matches_loop():
+    from uniception_tpu.models.info_sharing.alternating_attention_transformer import (
+        MultiViewAlternatingAttentionTransformer,
+        MultiViewAlternatingAttentionTransformerIFR,
+    )
+    from uniception_tpu.models.info_sharing.base import MultiViewTransformerInput
+
+    cfg = dict(
+        name="a", input_embed_dim=48, depth=4, dim=32, num_heads=4,
+        use_rand_idx_pe_for_non_reference_views=False,
+    )
+    loop = MultiViewAlternatingAttentionTransformer(rngs=nnx.Rngs(0), **cfg)
+    scan = MultiViewAlternatingAttentionTransformer(rngs=nnx.Rngs(1), scan_blocks=True, **cfg)
+    missing, unexpected = load_torch_state_dict(scan, state_dict_from_module(loop))
+    assert not missing and not unexpected, (missing, unexpected)
+
+    rng = np.random.RandomState(1)
+    feats = [jnp.asarray(rng.randn(2, 48, 4, 4).astype(np.float32)) for _ in range(3)]
+    ref = loop(MultiViewTransformerInput(features=feats))
+    out = scan(MultiViewTransformerInput(features=feats))
+    for a, b in zip(ref.features, out.features):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-5)
+
+    loop_i = MultiViewAlternatingAttentionTransformerIFR(rngs=nnx.Rngs(0), indices=[0, 1, 3], **cfg)
+    scan_i = MultiViewAlternatingAttentionTransformerIFR(rngs=nnx.Rngs(1), indices=[0, 1, 3], scan_blocks=True, **cfg)
+    load_torch_state_dict(scan_i, state_dict_from_module(loop_i))
+    ref_f, ref_inter = loop_i(MultiViewTransformerInput(features=feats))
+    out_f, out_inter = scan_i(MultiViewTransformerInput(features=feats))
+    assert len(ref_inter) == len(out_inter) == 3
+    for ri, oi in zip(ref_inter, out_inter):
+        for a, b in zip(ri.features, oi.features):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-5)

@@ -52,6 +52,7 @@ class MultiViewPointmapModel(nnx.Module):
         info_sharing_num_heads: int = 12,
         use_rand_idx_pe_for_non_reference_views: bool = False,
         sequence_parallel: Optional[tuple] = None,
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -75,6 +76,7 @@ class MultiViewPointmapModel(nnx.Module):
             enc_embed_dim=enc_embed_dim,
             enc_depth=enc_depth,
             enc_num_heads=enc_num_heads,
+            scan_blocks=scan_blocks,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
@@ -91,6 +93,7 @@ class MultiViewPointmapModel(nnx.Module):
             depth=info_sharing_depth,
             num_heads=info_sharing_num_heads,
             use_rand_idx_pe_for_non_reference_views=use_rand_idx_pe_for_non_reference_views,
+            scan_blocks=scan_blocks,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,

@@ -68,13 +68,9 @@ class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransform
             **kwargs,
         )
 
-    def _run_depth(self, depth_idx, tokens, pos, meta):
+    def _apply_frame(self, blk, tokens, pos, meta):
+        "Frame-local attention: split off global extra tokens, fold views into batch."
         B, H, W, num_views, n_tok_per_view, n_extra_per_view, n_global = meta
-        blk = self.self_attention_blocks[depth_idx]
-        if depth_idx % 2 == 0:
-            # global attention over all views (+ global extra tokens)
-            return self._block_apply(blk, tokens, pos)
-        # frame attention: split off global extra tokens, fold views into batch
         n_view_tokens = num_views * n_tok_per_view
         view_part = tokens[:, :n_view_tokens]
         extra_part = tokens[:, n_view_tokens:] if n_global else None
@@ -90,10 +86,55 @@ class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransform
             return jnp.concatenate([view_part, extra_part], axis=1)
         return view_part
 
+    def _run_depth(self, depth_idx, tokens, pos, meta):
+        blk = self.self_attention_blocks[depth_idx]
+        if depth_idx % 2 == 0:
+            # global attention over all views (+ global extra tokens)
+            return self._block_apply(blk, tokens, pos)
+        return self._apply_frame(blk, tokens, pos, meta)
+
+    def _run_all(self, tokens, pos, meta, collect: bool = False):
+        """All depths; scan layout pairs one (global, frame) step per scan
+        iteration over half-depth-stacked params (requires even depth)."""
+        if not self.scan_blocks:
+            if collect:
+                ys = []
+                for depth_idx in range(self.depth):
+                    tokens = self._run_depth(depth_idx, tokens, pos, meta)
+                    ys.append(tokens)
+                return tokens, ys
+            for depth_idx in range(self.depth):
+                tokens = self._run_depth(depth_idx, tokens, pos, meta)
+            return tokens
+
+        import jax
+
+        assert self.depth % 2 == 0, "scan_blocks alternating attention requires even depth"
+        graphdef, state = nnx.split(self.self_attention_blocks)
+        even = jax.tree.map(lambda a: a[0::2], state)
+        odd = jax.tree.map(lambda a: a[1::2], state)
+
+        def body(c, xs):
+            even_state, odd_state = xs
+            c1 = self._block_apply(nnx.merge(graphdef, even_state), c, pos)
+            c2 = self._apply_frame(nnx.merge(graphdef, odd_state), c1, pos, meta)
+            return c2, ((c1, c2) if collect else None)
+
+        if self.gradient_checkpointing:
+            body = jax.checkpoint(body)
+        final, ys = jax.lax.scan(body, tokens, (even, odd))
+        if collect:
+            # interleave (after-global, after-frame) back into depth order
+            y_even, y_odd = ys
+            per_depth = []
+            for i in range(self.depth // 2):
+                per_depth.extend([y_even[i], y_odd[i]])
+            return final, per_depth
+        return final
+
     def __call__(self, model_input: MultiViewTransformerInput, rng_key=None) -> MultiViewTransformerOutput:
         tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
-        for depth_idx in range(self.depth):
-            tokens = self._run_depth(depth_idx, tokens, pos, meta)
+        tokens = self._run_all(tokens, pos, meta)
         return self._split_output(self.norm(tokens), meta)
 
 
@@ -122,12 +163,11 @@ class MultiViewAlternatingAttentionTransformerIFR(MultiViewAlternatingAttentionT
         take_indices, _ = feature_take_indices(self.depth, self.indices)
         tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
 
+        tokens, per_depth = self._run_all(tokens, pos, meta, collect=True)
         intermediates = []
-        for depth_idx in range(self.depth):
-            tokens = self._run_depth(depth_idx, tokens, pos, meta)
-            if depth_idx in take_indices:
-                t = self.norm(tokens) if self.norm_intermediate else tokens
-                intermediates.append(self._split_output(t, meta))
+        for depth_idx in take_indices:
+            t = self.norm(per_depth[depth_idx]) if self.norm_intermediate else per_depth[depth_idx]
+            intermediates.append(self._split_output(t, meta))
 
         if self.intermediates_only:
             return intermediates

@@ -41,6 +41,7 @@ from uniception_tpu.models.utils.intermediate_feature_return import (
 from uniception_tpu.models.utils.positional_encoding import make_patch_positions
 from uniception_tpu.nn.blocks import Mlp, SelfAttentionBlock, layer_norm_factory
 from uniception_tpu.nn.common import Identity, LinearX, remat_call
+from uniception_tpu.nn.scan import make_stacked_blocks, scan_blocks as scan_apply
 from uniception_tpu.ops.rope import Rope2D
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
@@ -80,6 +81,7 @@ class _GlobalAttentionBase(UniCeptionInfoSharingBase):
         entropy_scaling_growth_factor: float = 1.4,
         pretrained_checkpoint_path: Optional[str] = None,
         gradient_checkpointing: bool = False,
+        scan_blocks: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -110,32 +112,35 @@ class _GlobalAttentionBase(UniCeptionInfoSharingBase):
                 raise ValueError(f"Unknown custom positional encoding: {custom_positional_encoding}")
         self.custom_positional_encoding = custom_positional_encoding
 
-        self.self_attention_blocks = nnx.List(
-            [
-                SelfAttentionBlock(
-                    dim=dim,
-                    num_heads=num_heads,
-                    mlp_ratio=mlp_ratio,
-                    qkv_bias=qkv_bias,
-                    qk_norm=qk_norm,
-                    proj_drop=proj_drop,
-                    attn_drop=attn_drop,
-                    init_values=init_values,
-                    drop_path=drop_path,
-                    norm_layer=norm_layer,
-                    mlp_layer=mlp_layer,
-                    custom_positional_encoding=self.custom_positional_encoding,
-                    use_scalable_softmax=use_scalable_softmax,
-                    use_entropy_scaling=use_entropy_scaling,
-                    base_token_count_for_entropy_scaling=base_token_count_for_entropy_scaling,
-                    entropy_scaling_growth_factor=entropy_scaling_growth_factor,
-                    dtype=dtype,
-                    param_dtype=param_dtype,
-                    rngs=rngs,
-                )
-                for _ in range(depth)
-            ]
-        )
+        def make_block(r: nnx.Rngs) -> SelfAttentionBlock:
+            return SelfAttentionBlock(
+                dim=dim,
+                num_heads=num_heads,
+                mlp_ratio=mlp_ratio,
+                qkv_bias=qkv_bias,
+                qk_norm=qk_norm,
+                proj_drop=proj_drop,
+                attn_drop=attn_drop,
+                init_values=init_values,
+                drop_path=drop_path,
+                norm_layer=norm_layer,
+                mlp_layer=mlp_layer,
+                custom_positional_encoding=self.custom_positional_encoding,
+                use_scalable_softmax=use_scalable_softmax,
+                use_entropy_scaling=use_entropy_scaling,
+                base_token_count_for_entropy_scaling=base_token_count_for_entropy_scaling,
+                entropy_scaling_growth_factor=entropy_scaling_growth_factor,
+                dtype=dtype,
+                param_dtype=param_dtype,
+                rngs=r,
+            )
+
+        # scan_blocks: one depth-stacked block + lax.scan (nn/scan.py)
+        self.scan_blocks = scan_blocks
+        if scan_blocks:
+            self.self_attention_blocks = make_stacked_blocks(depth, make_block, rngs)
+        else:
+            self.self_attention_blocks = nnx.List([make_block(rngs) for _ in range(depth)])
         self.norm = norm_layer(dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
     def _load_pretrained(self):
@@ -149,6 +154,23 @@ class _GlobalAttentionBase(UniCeptionInfoSharingBase):
         if self.gradient_checkpointing:
             return remat_call(blk, x, pos)
         return blk(x, pos)
+
+    def _run_blocks(self, tokens, pos, collect: bool = False):
+        "Run the depth loop in whichever layout this instance stores (loop/scan)."
+        if self.scan_blocks:
+            return scan_apply(
+                self.self_attention_blocks, tokens, pos,
+                collect=collect, remat=self.gradient_checkpointing,
+            )
+        if collect:
+            ys = []
+            for blk in self.self_attention_blocks:
+                tokens = self._block_apply(blk, tokens, pos)
+                ys.append(tokens)
+            return tokens, jnp.stack(ys)
+        for blk in self.self_attention_blocks:
+            tokens = self._block_apply(blk, tokens, pos)
+        return tokens
 
 
 class MultiViewGlobalAttentionTransformer(_GlobalAttentionBase):
@@ -267,8 +289,7 @@ class MultiViewGlobalAttentionTransformer(_GlobalAttentionBase):
 
     def __call__(self, model_input: MultiViewTransformerInput, rng_key=None) -> MultiViewTransformerOutput:
         tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
-        for blk in self.self_attention_blocks:
-            tokens = self._block_apply(blk, tokens, pos)
+        tokens = self._run_blocks(tokens, pos)
         return self._split_output(self.norm(tokens), meta)
 
 
@@ -297,12 +318,11 @@ class MultiViewGlobalAttentionTransformerIFR(MultiViewGlobalAttentionTransformer
         take_indices, _ = feature_take_indices(self.depth, self.indices)
         tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
 
+        tokens, per_depth = self._run_blocks(tokens, pos, collect=True)
         intermediates = []
-        for depth_idx, blk in enumerate(self.self_attention_blocks):
-            tokens = self._block_apply(blk, tokens, pos)
-            if depth_idx in take_indices:
-                t = self.norm(tokens) if self.norm_intermediate else tokens
-                intermediates.append(self._split_output(t, meta))
+        for depth_idx in take_indices:
+            t = self.norm(per_depth[depth_idx]) if self.norm_intermediate else per_depth[depth_idx]
+            intermediates.append(self._split_output(t, meta))
 
         if self.intermediates_only:
             return intermediates

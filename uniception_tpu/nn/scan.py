@@ -24,6 +24,11 @@ Checkpoint compatibility: utils/torch_compat.py recognizes modules created
 here via the ``stacked_depth`` marker and maps torch keys
 ``prefix.{i}.rest`` <-> the stacked leaf's index ``i`` along axis 0, so
 reference .pth checkpoints load into either layout unchanged.
+
+Not stackable: the Differential attention family — its per-depth
+``lambda_init_fn(depth)`` is a STATIC float on the module (matching the
+reference's per-layer constant), so the per-depth graphdefs differ and
+nnx.vmap cannot stack them; those transformers keep the Python-loop layout.
 """
 
 from typing import Callable, Optional

@@ -56,7 +56,9 @@ def main():
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type=HEAD,
         dtype=jnp.bfloat16,
-        scan_blocks=os.environ.get("BENCH_SCAN") == "1",  # trace-once trunk (same math)
+        # scan layout: trace-once trunk, ~7x faster TPU compiles AND measured
+        # faster at runtime (70.0 vs 67.0 pairs/s int8 b2); BENCH_SCAN=0 for loop
+        scan_blocks=os.environ.get("BENCH_SCAN", "1") == "1",
         rngs=nnx.Rngs(0),
     )
     graphdef, state = nnx.split(model)

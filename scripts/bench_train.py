@@ -43,6 +43,7 @@ def main():
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type="linear",
         gradient_checkpointing=os.environ.get("BENCH_REMAT", "0") == "1",
+        scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
         dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
         rngs=nnx.Rngs(0),
     )

@@ -93,11 +93,19 @@ def tp_shard_state(state, mesh: Mesh, rules=None):
                 parts.append(str(k.idx))
             elif hasattr(k, "name"):
                 parts.append(str(k.name))
+        # flax VariableState leaves flatten with a trailing '.value'
+        # GetAttrKey; drop it so rules can anchor on '...kernel$'
+        if parts and parts[-1] == "value":
+            parts = parts[:-1]
         return ".".join(parts)
 
     leaves = []
     for keypath, leaf in flat:
         spec = _spec_for(path_str(keypath), rules)
+        # depth-stacked (scan-layout, nn/scan.py) params carry a leading
+        # depth axis; shift the rule right so the same feature axis shards
+        if len(spec) > 0 and getattr(leaf, "ndim", 0) == len(spec) + 1:
+            spec = P(None, *spec)
         # verify divisibility; fall back to replication otherwise
         ok = True
         for dim, axis in enumerate(spec):

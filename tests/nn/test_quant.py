@@ -40,6 +40,27 @@ def test_int8_linear_matches_fp32():
     assert rel < 2e-2, rel
 
 
+def test_int8_linear_static_activation_scale():
+    """w8a8-static: a frozen per-tensor input scale (e.g. from offline
+    calibration) replaces the per-token abs-max; accuracy stays in the same
+    regime when the scale covers the input range. On-chip timing showed no
+    consistent speedup over the dynamic path (XLA fuses the abs-max into the
+    producer), so dynamic stays the default — this keeps the option exact."""
+    rng = np.random.RandomState(2)
+    lin = LinearX(256, 512, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.randn(8, 33, 256).astype(np.float32))
+    ref = lin(x)
+    dyn = Int8Linear.from_linear(lin)
+    a_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    stat = Int8Linear(dyn.w_q[...], dyn.w_scale[...], dyn.bias[...] if dyn.bias is not None else None, a_scale=a_scale)
+    out = stat(x)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-2, rel
+    # out-of-range inputs must clip, not wrap
+    big = stat(x * 100.0)
+    assert bool(jnp.all(jnp.isfinite(big)))
+
+
 def test_int8_linear_preserves_dtype_and_handles_zero_rows():
     lin = LinearX(64, 64, rngs=nnx.Rngs(0))
     qlin = Int8Linear.from_linear(lin)

@@ -21,10 +21,11 @@ from uniception_tpu.ops.flash_attention import flash_attention
 
 
 @pytest.fixture(autouse=True)
-def _interpret_mode():
-    os.environ["UNICEPTION_TPU_PALLAS_INTERPRET"] = "1"
+def _interpret_mode(monkeypatch):
+    # monkeypatch (not os.environ.pop) so a pre-existing value is restored —
+    # popping would strip interpret mode from later test files' runs
+    monkeypatch.setenv("UNICEPTION_TPU_PALLAS_INTERPRET", "1")
     yield
-    os.environ.pop("UNICEPTION_TPU_PALLAS_INTERPRET", None)
     set_attention_quant("none")
 
 

@@ -16,6 +16,14 @@ import jax.numpy as jnp
 
 os.environ.setdefault("UNICEPTION_TPU_PALLAS_INTERPRET", "1")
 
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # per-test (not import-time): another test file's teardown may have
+    # removed the env var between collection and this test's run
+    monkeypatch.setenv("UNICEPTION_TPU_PALLAS_INTERPRET", "1")
+
+
 from uniception_tpu.ops.fused_attention import (  # noqa: E402
     _cross_reference,
     _self_reference,

@@ -47,6 +47,40 @@ def test_train_step_decreases_loss(model_axis, use_tp):
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
 
+def test_zero1_matches_unsharded_and_shards_moments():
+    """ZeRO-1 must change the optimizer-state layout, not the math: the
+    loss trajectory equals the replicated-optimizer run, and the Adam
+    moments actually carry a "data" axis in their sharding spec."""
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    img1, img2, t1, t2 = mk(8, 3, 32, 32), mk(8, 3, 32, 32), mk(8, 32, 32, 3), mk(8, 32, 32, 3)
+
+    def run(zero1):
+        model = DUSt3R(name="zero1_test", rngs=nnx.Rngs(0), **SMALL)
+        ctx, params, opt_state = make_train_step(model, learning_rate=1e-3, data=8, zero1=zero1)
+        losses = []
+        with ctx.mesh:
+            b = shard_batch((img1, img2, t1, t2), ctx.mesh)
+            for _ in range(4):
+                loss, params, opt_state = ctx.step(params, opt_state, *b)
+                losses.append(float(loss))
+        return losses, opt_state
+
+    losses_ref, _ = run(zero1=False)
+    losses_z1, opt_state = run(zero1=True)
+    np.testing.assert_allclose(losses_z1, losses_ref, rtol=1e-5, atol=1e-6)
+
+    # the moments must come back from the step still data-sharded
+    sharded = [
+        x
+        for x in jax.tree.leaves(opt_state)
+        if hasattr(x, "sharding") and "data" in tuple(getattr(x.sharding, "spec", ()))
+    ]
+    assert len(sharded) > 0, "no optimizer-state leaf is sharded over the data axis"
+    dev_counts = {len(x.sharding.device_set) for x in sharded}
+    assert dev_counts == {8}, f"sharded moments should span all 8 devices: {dev_counts}"
+
+
 def test_gradient_checkpointing_matches_no_remat():
     "remat must change memory, not math: identical loss and grads."
     rng = np.random.RandomState(0)

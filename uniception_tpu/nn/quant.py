@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-__all__ = ["Int8Linear", "quantize_linears", "quantize_int8"]
+__all__ = ["Int8Linear", "quantize_linears", "quantize_int8", "calibrate_static_scales"]
 
 
 def quantize_int8(w: jnp.ndarray, axis: int = 0):
@@ -50,12 +50,22 @@ class Int8Linear(nnx.Module):
     Build with :meth:`from_linear`; not meant to be trained (no STE).
     """
 
-    def __init__(self, w_q: jnp.ndarray, w_scale: jnp.ndarray, bias: Optional[jnp.ndarray]):
+    def __init__(
+        self,
+        w_q: jnp.ndarray,
+        w_scale: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        a_scale: Optional[jnp.ndarray] = None,
+    ):
         self.w_q = nnx.Param(w_q)  # (in, out) int8 — or (depth, in, out) when depth-stacked
         self.w_scale = nnx.Param(w_scale)  # (1, out) f32 — or (depth, 1, out)
         self.bias = nnx.Param(bias) if bias is not None else None
         self.in_features = int(w_q.shape[-2])
         self.out_features = int(w_q.shape[-1])
+        # static-activation-scale mode (w8a8-static): a per-tensor input
+        # scale frozen from calibration replaces the per-token abs-max
+        # (see calibrate_static_scales). () f32 when set; None = dynamic.
+        self.a_scale = nnx.Param(jnp.asarray(a_scale, jnp.float32)) if a_scale is not None else None
 
     @classmethod
     def from_linear(cls, lin: nnx.Linear) -> "Int8Linear":
@@ -70,7 +80,10 @@ class Int8Linear(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30) / 127.0
+        if self.a_scale is not None:
+            a_scale = self.a_scale[...]  # () static, frozen at calibration
+        else:
+            a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30) / 127.0
         x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
         y = jax.lax.dot_general(
             x_q,

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicate_state", "tp_shard_state", "shard_batch", "TP_RULES"]
+__all__ = ["make_mesh", "replicate_state", "tp_shard_state", "shard_batch", "zero1_shard_state", "TP_RULES"]
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
@@ -115,6 +115,41 @@ def tp_shard_state(state, mesh: Mesh, rules=None):
             spec = P()
         leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def zero1_shard_state(state, mesh: Mesh):
+    """ZeRO-1: shard a pytree (optimizer moments) over the "data" axis.
+
+    Each array leaf gets PartitionSpec "data" on its largest axis divisible
+    by the data-axis size that is not already sharded (leaves produced by
+    ``tx.init`` on tp-sharded params keep their "model" axes). Scalars and
+    indivisible leaves stay replicated. With params replicated and moments
+    sharded, XLA's SPMD partitioner computes each device's slice of the
+    optimizer update and all-gathers only the parameter delta — the ZeRO-1
+    communication pattern — cutting optimizer-state memory by the data-axis
+    size. (The reference has no trainer at all, SURVEY.md §2.8; this is
+    TPU-native scaling the rebuild adds.)
+    """
+    data_size = mesh.shape["data"]
+
+    def shard_leaf(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or data_size == 1:
+            return jax.device_put(x, NamedSharding(mesh, P())) if hasattr(x, "ndim") else x
+        existing = [None] * x.ndim
+        shard = getattr(x, "sharding", None)
+        if isinstance(shard, NamedSharding):
+            spec = list(shard.spec) + [None] * (x.ndim - len(shard.spec))
+            existing = spec[: x.ndim]
+        candidates = [
+            d for d in range(x.ndim) if existing[d] is None and x.shape[d] % data_size == 0 and x.shape[d] > 1
+        ]
+        if not candidates:
+            return jax.device_put(x, NamedSharding(mesh, P(*existing)))
+        axis = max(candidates, key=lambda d: x.shape[d])
+        existing[axis] = "data"
+        return jax.device_put(x, NamedSharding(mesh, P(*existing)))
+
+    return jax.tree.map(shard_leaf, state)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -17,7 +17,13 @@ import jax.numpy as jnp
 import optax
 from flax import nnx
 
-from uniception_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch, tp_shard_state
+from uniception_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_state,
+    shard_batch,
+    tp_shard_state,
+    zero1_shard_state,
+)
 
 __all__ = ["dust3r_confidence_loss", "make_train_step", "TrainContext", "save_train_state", "restore_train_state"]
 
@@ -61,6 +67,7 @@ def make_train_step(
     model_axis: int = 1,
     use_tp: bool = False,
     grad_accum: int = 1,
+    zero1: bool = False,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[TrainContext, Any, Any]:
     """Build a dp(+tp) sharded train step for a DUSt3R-style model.
@@ -69,6 +76,10 @@ def make_train_step(
     ``step(params, opt_state, img1, img2, target1, target2) ->
     (loss, params, opt_state)``; inputs should be sharded with
     ``shard_batch(..., ctx.mesh)``.
+
+    zero1: shard the optimizer state over the "data" axis (ZeRO stage 1).
+        Optimizer-moment memory drops by the data-axis size; XLA emits the
+        slice-update + parameter all-gather from the sharding constraints.
     """
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
@@ -80,6 +91,12 @@ def make_train_step(
         if grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
         opt_state = tx.init(params)
+        if zero1:
+            opt_state = zero1_shard_state(opt_state, mesh)
+    # pin the optimizer-state layout across steps: without the constraint
+    # XLA is free to re-replicate the moments on the step's outputs,
+    # silently undoing the ZeRO-1 memory saving
+    opt_shardings = jax.tree.map(lambda x: getattr(x, "sharding", None), opt_state) if zero1 else None
 
     if loss_fn is None:
         def loss_fn(m, img1, img2, target1, target2):
@@ -95,6 +112,12 @@ def make_train_step(
         loss, grads = jax.value_and_grad(compute_loss)(params, img1, img2, target1, target2)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if opt_shardings is not None:
+            opt_state = jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(x, s) if s is not None else x,
+                opt_state,
+                opt_shardings,
+            )
         return loss, params, opt_state
 
     return TrainContext(graphdef, rest, mesh, tx, step), params, opt_state

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""
+End-to-end DUSt3R training example: data pipeline -> sharded train step ->
+checkpoint/resume.
+
+The reference ships no trainer (SURVEY.md §0: model-component library only;
+its examples run inference, examples/models/dust3r/dust3r.py). This example
+shows the TPU-native training loop the rebuild adds, wiring together:
+
+    * uniception_tpu.data.pipeline   — epoch_batches / normalize_batch
+      (native C++ fused normalize when available) / prefetch_to_device
+      (double-buffered async host->mesh transfer)
+    * uniception_tpu.parallel.training — make_train_step over a
+      ("data", "model") mesh: dp batch sharding, optional tp (--tp),
+      ZeRO-1 optimizer-state sharding (--zero1), gradient accumulation,
+      bf16 compute via --bf16, gradient checkpointing via --remat
+    * save_train_state / restore_train_state — full resume (params +
+      optimizer moments + step)
+
+Runs out of the box on CPU with a tiny synthetic dataset:
+
+    JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python examples/train_dust3r.py --steps 10 --zero1
+
+Point --img/--depth/... at real sizes (ViT-L: --embed-dim 1024 --depth 24
+--heads 16) and replace `synthetic_dataset` with your own (imgs uint8
+BHWC + pointmap targets BHWC3) for real training.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def synthetic_dataset(n: int, img: int, seed: int = 0):
+    "Random uint8 image pairs + pointmap targets (stand-in for a real set)."
+    rng = np.random.RandomState(seed)
+    return {
+        "img1": rng.randint(0, 256, (n, img, img, 3), np.uint8),
+        "img2": rng.randint(0, 256, (n, img, img, 3), np.uint8),
+        "pts1": rng.randn(n, img, img, 3).astype(np.float32),
+        "pts2": rng.randn(n, img, img, 3).astype(np.float32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=32)
+    ap.add_argument("--embed-dim", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--dataset-size", type=int, default=64)
+    ap.add_argument("--tp", type=int, default=1, help="model-axis size (tensor parallel)")
+    ap.add_argument("--zero1", action="store_true", help="shard optimizer state over the data axis")
+    ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument("--remat", action="store_true", help="gradient checkpointing")
+    ap.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
+    ap.add_argument("--bf16", action="store_true", help="bf16 compute (fp32 params)")
+    ap.add_argument("--ckpt-dir", default="")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.data.pipeline import epoch_batches, normalize_batch, prefetch_to_device
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.parallel.training import (
+        make_train_step,
+        restore_train_state,
+        save_train_state,
+    )
+
+    model = DUSt3R(
+        name="train_example",
+        img_size=(args.img, args.img),
+        enc_embed_dim=args.embed_dim,
+        enc_depth=args.depth,
+        enc_num_heads=args.heads,
+        info_sharing_dim=args.embed_dim,
+        info_sharing_depth=args.depth,
+        info_sharing_num_heads=args.heads,
+        gradient_checkpointing=args.remat,
+        scan_blocks=args.scan,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        rngs=nnx.Rngs(0),
+    )
+    ctx, params, opt_state = make_train_step(
+        model,
+        learning_rate=args.lr,
+        model_axis=args.tp,
+        use_tp=args.tp > 1,
+        grad_accum=args.grad_accum,
+        zero1=args.zero1,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1}")
+
+    start_step = 0
+    if args.resume and args.ckpt_dir and os.path.isdir(args.ckpt_dir):
+        params, opt_state, start_step = restore_train_state(args.ckpt_dir, params, opt_state)
+        print(f"resumed from {args.ckpt_dir} at step {start_step}")
+
+    data = synthetic_dataset(args.dataset_size, args.img)
+    step_idx = start_step
+    rng = np.random.RandomState(1234 + start_step)
+
+    def batches():
+        while True:
+            for b in epoch_batches(data, args.batch, rng=rng):
+                yield {
+                    "img1": normalize_batch(b["img1"], "dust3r"),
+                    "img2": normalize_batch(b["img2"], "dust3r"),
+                    "pts1": b["pts1"],
+                    "pts2": b["pts2"],
+                }
+
+    with ctx.mesh:
+        t0 = time.perf_counter()
+        for batch in prefetch_to_device(batches(), ctx.mesh):
+            loss, params, opt_state = ctx.step(
+                params, opt_state, batch["img1"], batch["img2"], batch["pts1"], batch["pts2"]
+            )
+            step_idx += 1
+            if step_idx % max(1, args.steps // 10) == 0 or step_idx == start_step + 1:
+                print(f"step {step_idx:5d}  loss {float(loss):9.4f}  {(time.perf_counter() - t0):6.1f}s")
+            if step_idx >= start_step + args.steps:
+                break
+
+    if args.ckpt_dir:
+        save_train_state(os.path.abspath(args.ckpt_dir), params, opt_state, step=step_idx)
+        print(f"saved params+opt_state+step to {args.ckpt_dir} (resume with --resume)")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,11 +50,15 @@ def main():
     QUANT = os.environ.get("BENCH_QUANT", "int8")
 
     HEAD = os.environ.get("BENCH_HEAD", "linear")  # linear | dpt (the reference's flagship 512-dpt)
+    # BENCH_HEAD_DTYPE=bf16 runs the heads in bf16 (opt-in; default keeps the
+    # reference's fp32 head region — parity impact measured in BASELINE.md)
+    HEAD_DTYPE = jnp.bfloat16 if os.environ.get("BENCH_HEAD_DTYPE") == "bf16" else None
     model = DUSt3R(
         name=f"dust3r_512_{HEAD}",
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type=HEAD,
+        head_dtype=HEAD_DTYPE,
         dtype=jnp.bfloat16,
         # scan layout: trace-once trunk, ~7x faster TPU compiles AND measured
         # faster at runtime (70.0 vs 67.0 pairs/s int8 b2); BENCH_SCAN=0 for loop

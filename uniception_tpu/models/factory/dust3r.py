@@ -92,11 +92,17 @@ class DUSt3R(nnx.Module):
         info_sharing_num_heads: int = 12,
         gradient_checkpointing: bool = False,
         scan_blocks: bool = False,
+        head_dtype=None,
         *,
         dtype=None,
         param_dtype=jnp.float32,
         rngs: Optional[nnx.Rngs] = None,
     ):
+        # head_dtype: compute dtype for the prediction heads. None keeps the
+        # reference's fp32 head region (autocast-off, dust3r.py:309). Setting
+        # jnp.bfloat16 is an opt-in serving knob: measured full-size head
+        # error vs the fp32 path stays ~1e-3 — far inside the reference's own
+        # 1e-2 golden gate — while the conv-heavy DPT head runs at bf16 rate.
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         if pretrained_pred_head_checkpoint_paths is None:
             pretrained_pred_head_checkpoint_paths = [None, None]
@@ -109,6 +115,7 @@ class DUSt3R(nnx.Module):
         self.patch_embed_cls = patch_embed_cls
         self.pred_head_type = pred_head_type
         self.pred_head_output_dim = pred_head_output_dim
+        self.head_dtype = head_dtype
         self.depth_mode = depth_mode
         self.conf_mode = conf_mode
         self.pos_embed = pos_embed
@@ -177,6 +184,7 @@ class DUSt3R(nnx.Module):
                 output_dim=pred_head_output_dim,
                 patch_size=self.encoder.patch_size,
                 pretrained_checkpoint_path=pretrained_pred_head_checkpoint_paths[0],
+                dtype=head_dtype,
                 rngs=rngs,
             )
             self.head2 = LinearFeature(
@@ -184,6 +192,7 @@ class DUSt3R(nnx.Module):
                 output_dim=pred_head_output_dim,
                 patch_size=self.encoder.patch_size,
                 pretrained_checkpoint_path=pretrained_pred_head_checkpoint_paths[1],
+                dtype=head_dtype,
                 rngs=rngs,
             )
         else:  # dpt
@@ -195,12 +204,14 @@ class DUSt3R(nnx.Module):
                 input_feature_dims=[self.encoder.enc_embed_dim] + [self.info_sharing.dim] * 3,
                 feature_dim=pred_head_feature_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_checkpoint_paths[0],
+                dtype=head_dtype,
                 rngs=rngs,
             )
             self.dpt_regressor_head1 = DPTRegressionProcessor(
                 input_feature_dim=pred_head_feature_dim,
                 output_dim=pred_head_output_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_regressor_checkpoint_paths[0],
+                dtype=head_dtype,
                 rngs=rngs,
             )
             self.dpt_feature_head2 = DPTFeature(
@@ -209,12 +220,14 @@ class DUSt3R(nnx.Module):
                 input_feature_dims=[self.encoder.enc_embed_dim] + [self.info_sharing.dim] * 3,
                 feature_dim=pred_head_feature_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_checkpoint_paths[1],
+                dtype=head_dtype,
                 rngs=rngs,
             )
             self.dpt_regressor_head2 = DPTRegressionProcessor(
                 input_feature_dim=pred_head_feature_dim,
                 output_dim=pred_head_output_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_regressor_checkpoint_paths[1],
+                dtype=head_dtype,
                 rngs=rngs,
             )
 
@@ -314,36 +327,43 @@ class DUSt3R(nnx.Module):
 
     def _decode_and_predict(self, feat1, feat2, shape1, shape2):
         info_in = MultiViewTransformerInput(features=[feat1, feat2])
+        # Heads run fp32 by default (reference autocast-off region,
+        # dust3r.py:309); head_dtype=bf16 is the opt-in serving knob.
+        hd = self.head_dtype or jnp.float32
 
         if self.pred_head_type == "linear":
             final = self.info_sharing(info_in)
             decout = {
-                "1": final.features[0].astype(jnp.float32),
-                "2": final.features[1].astype(jnp.float32),
+                "1": final.features[0].astype(hd),
+                "2": final.features[1].astype(hd),
             }
         else:
             final, intermediate = self.info_sharing(info_in)
             decout = {
                 "1": [
-                    feat1.astype(jnp.float32),
-                    intermediate[0].features[0].astype(jnp.float32),
-                    intermediate[1].features[0].astype(jnp.float32),
-                    final.features[0].astype(jnp.float32),
+                    feat1.astype(hd),
+                    intermediate[0].features[0].astype(hd),
+                    intermediate[1].features[0].astype(hd),
+                    final.features[0].astype(hd),
                 ],
                 "2": [
-                    feat2.astype(jnp.float32),
-                    intermediate[0].features[1].astype(jnp.float32),
-                    intermediate[1].features[1].astype(jnp.float32),
-                    final.features[1].astype(jnp.float32),
+                    feat2.astype(hd),
+                    intermediate[0].features[1].astype(hd),
+                    intermediate[1].features[1].astype(hd),
+                    final.features[1].astype(hd),
                 ],
             }
 
-        # Heads + adaptors always run in fp32 (reference autocast-off region)
         head_out1 = self._head(1, decout, shape1)
         head_out2 = self._head(2, decout, shape2)
 
-        out1 = self.adaptor(AdaptorInput(adaptor_feature=head_out1.decoded_channels, output_shape_hw=shape1))
-        out2 = self.adaptor(AdaptorInput(adaptor_feature=head_out2.decoded_channels, output_shape_hw=shape2))
+        # adaptor nonlinearities (exp/clip) always in fp32
+        out1 = self.adaptor(
+            AdaptorInput(adaptor_feature=head_out1.decoded_channels.astype(jnp.float32), output_shape_hw=shape1)
+        )
+        out2 = self.adaptor(
+            AdaptorInput(adaptor_feature=head_out2.decoded_channels.astype(jnp.float32), output_shape_hw=shape2)
+        )
 
         res1 = {
             "pts3d": jnp.transpose(out1.value, (0, 2, 3, 1)),

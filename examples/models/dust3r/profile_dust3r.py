@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--sizes", nargs="*", type=int, default=[224, 512])
     parser.add_argument("--head", default="linear", choices=["linear", "dpt"])
     parser.add_argument("--gelu", default="tanh", choices=["tanh", "exact"])
+    parser.add_argument("--quant", default="none", choices=["none", "int8"], help="w8a8 trunk linears (nn/quant.py)")
+    parser.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
+    parser.add_argument("--head-dtype", default="fp32", choices=["fp32", "bf16"])
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -42,11 +45,20 @@ def main():
             img_size=(img, img),
             patch_embed_cls="PatchEmbedDust3R",
             pred_head_type=args.head,
+            head_dtype=jnp.bfloat16 if args.head_dtype == "bf16" else None,
+            scan_blocks=args.scan,
             dtype=jnp.bfloat16,
             rngs=nnx.Rngs(0),
         )
         graphdef, state = nnx.split(model)
         state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+        if args.quant == "int8":
+            from uniception_tpu.nn.quant import quantize_linears
+
+            model = nnx.merge(graphdef, state)
+            n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
+            print(f"int8-quantized {n_q} trunk linears")
+            graphdef, state = nnx.split(model)
 
         def fwd(state, img1, img2, c):
             m = nnx.merge(graphdef, state)

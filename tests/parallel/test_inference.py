@@ -37,3 +37,46 @@ def test_sharded_inference_matches_unsharded(model_axis, use_tp):
 
     np.testing.assert_allclose(np.asarray(out1["pts3d"]), np.asarray(ref1["pts3d"]), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out2["conf"]), np.asarray(ref2["conf"]), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_inference_int8_scan_matches_unsharded():
+    """The production serving stack (int8 trunk + scan layout) must shard.
+
+    int8 outputs cannot be compared bitwise across sharding layouts: the
+    batch-8 vs batch-1 XLA tilings reassociate the fp32 LayerNorm
+    reductions differently, and a ~1e-7 input difference flips
+    round(x/scale) by one quantum (~0.8% of that token's amax) — measured
+    eager == jit exactly, while jit-vs-sharded differs only by such flips.
+    So this test uses linear (non-exp) adaptor modes, where a quantum flip
+    stays ~1% instead of being exp-amplified, and asserts the sharded
+    output matches within quant-flip physics; a real sharding bug (wrong
+    layout/collective) produces O(1) garbage, far outside this bound."""
+    from uniception_tpu.nn.quant import quantize_linears
+
+    model = DUSt3R(
+        name="infer_int8",
+        depth_mode=("linear", -float("inf"), float("inf")),
+        conf_mode=("sigmoid", 0.0, 1.0),
+        scan_blocks=True,
+        rngs=nnx.Rngs(0),
+        **SMALL,
+    )
+    n_q = quantize_linears(model.encoder, min_params=1) + quantize_linears(model.info_sharing, min_params=1)
+    assert n_q > 0
+
+    rng = np.random.RandomState(1)
+    img1 = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    ref1, ref2 = model.forward_pair(img1, img2)
+
+    ctx, state = make_infer_fn(model, data=8)
+    with ctx.mesh:
+        s1, s2 = ctx.shard((img1, img2))
+        out1, out2 = ctx.infer(state, s1, s2)
+
+    for a, b in ((out1["pts3d"], ref1["pts3d"]), (out2["conf"], ref2["conf"])):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        rel = np.abs(a - b) / scale
+        assert rel.max() < 2e-2, f"beyond quant-flip physics: max {rel.max()} of output scale {scale}"
+        assert np.median(rel) < 1e-3, f"systematic divergence: median {np.median(rel)}"

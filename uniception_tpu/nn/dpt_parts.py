@@ -40,7 +40,14 @@ DPT_ADAPTER_CHECKPOINT_ALIASES = (r"scratch\.layer_rn\.", r"(^|\.)act_postproces
 
 
 def Conv2dTorch(cin, cout, kernel_size, stride=1, padding=0, bias=True, *, dtype=None, param_dtype=jnp.float32, rngs):
-    "nnx.Conv over NHWC with torch Conv2d padding semantics."
+    """nnx.Conv over NHWC with torch Conv2d padding semantics.
+
+    Perf note (measured, do not retry): at DPT shapes (256ch @ 256², B2,
+    TPU v5e) XLA's conv runs ~80 TF/s independent of dtype; re-lowering the
+    3x3/s1 case as 9 shifted einsum GEMMs is 2-3x SLOWER (each einsum
+    re-reads the input from HBM — XLA's conv schedule reuses taps in VMEM,
+    so the "conv as matmuls" trick loses to the native lowering here).
+    """
     k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding

@@ -16,7 +16,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["interpolate", "resize_bilinear", "resize_bicubic"]
+__all__ = ["interpolate", "interpolate_nhwc", "resize_bilinear", "resize_bicubic"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -111,6 +111,43 @@ def interpolate(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilin
         wi = np.clip((np.arange(Wo) * W) // Wo, 0, W - 1)
         return x[..., hi, :][..., wi]
     raise ValueError(f"Unknown interpolation mode: {mode}")
+
+
+def interpolate_nhwc(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilinear", align_corners: bool = False):
+    """`interpolate` over (B, H, W, C) without layout round-trips.
+
+    Contracts the H and W axes in place (einsums at positions 1, 2). Same
+    weight matrices as `interpolate` — numerically identical (measured
+    bit-exact vs the BCHW round-trip). Perf note (TPU v5e, 256->512 @128ch):
+    the BCHW round-trip is *faster* (0.38 vs 0.58 ms) — XLA fuses the
+    transposes into the contraction and prefers that layout; use this
+    variant for clarity in NHWC code, not for speed.
+    """
+    H, W = x.shape[1], x.shape[2]
+    scales = (None, None)
+    if size is None:
+        assert scale_factor is not None
+        sf = scale_factor if isinstance(scale_factor, (tuple, list)) else (scale_factor, scale_factor)
+        size = (int(H * sf[0]), int(W * sf[1]))
+        if not align_corners:
+            scales = (float(sf[0]), float(sf[1]))
+    Ho, Wo = int(size[0]), int(size[1])
+    if (Ho, Wo) == (H, W) and scales == (None, None):
+        return x
+    if mode == "bilinear":
+        wh, ww = _linear_weights(H, Ho, align_corners, scales[0]), _linear_weights(W, Wo, align_corners, scales[1])
+    elif mode == "bicubic":
+        wh, ww = _cubic_weights(H, Ho, align_corners, scales[0]), _cubic_weights(W, Wo, align_corners, scales[1])
+    elif mode == "nearest":
+        hi = np.clip((np.arange(Ho) * H) // Ho, 0, H - 1)
+        wi = np.clip((np.arange(Wo) * W) // Wo, 0, W - 1)
+        return x[:, hi][:, :, wi]
+    else:
+        raise ValueError(f"Unknown interpolation mode: {mode}")
+    dt = x.dtype
+    x = jnp.einsum("oh,bhwc->bowc", jnp.asarray(wh, dt), x)
+    x = jnp.einsum("pw,bowc->bopc", jnp.asarray(ww, dt), x)
+    return x
 
 
 def resize_bilinear(x, size, align_corners=False):

@@ -27,6 +27,8 @@ __all__ = [
     "set_fused_attn",
     "get_gelu_mode",
     "set_gelu_mode",
+    "get_conv3x3_impl",
+    "set_conv3x3_impl",
 ]
 
 _VALID_IMPLS = ("xla", "pallas", "naive", "fused")
@@ -99,6 +101,35 @@ def set_attention_quant(mode: str):
     if mode not in ("none", "int8", "int8pv"):
         raise ValueError(f"Invalid attention quant mode {mode!r}")
     _ATTN_QUANT = mode
+
+
+# 3x3 conv lowering for the DPT-head hot shapes (ops/conv3x3.py):
+#   "xla"    — stock conv lowering (default)
+#   "pallas" — Pallas 9-tap matmul kernel. Isolated microbenches win for
+#              bf16 at <=256² spatial (fusion@128²: 175 vs 125 TF/s,
+#              conv1@256²: +13%), but measured e2e on the dpt config it is
+#              NET SLOWER (45.4 vs 48.1 pairs/s — the host-side overlap
+#              tiling copy and XLA<->Pallas layout transitions eat the
+#              gain), so "xla" stays the default; the knob exists for
+#              shape regimes where the microbench win scales.
+# Env var UNICEPTION_TPU_CONV3X3 or set_conv3x3_impl().
+_CONV3X3_IMPL = os.environ.get("UNICEPTION_TPU_CONV3X3", "xla")
+if _CONV3X3_IMPL not in ("xla", "pallas"):
+    warnings.warn(f"Invalid UNICEPTION_TPU_CONV3X3={_CONV3X3_IMPL!r}; falling back to 'xla'")
+    _CONV3X3_IMPL = "xla"
+
+
+def get_conv3x3_impl() -> str:
+    "Return the 3x3-conv lowering ('xla' or 'pallas')."
+    return _CONV3X3_IMPL
+
+
+def set_conv3x3_impl(impl: str):
+    "Select the 3x3-conv lowering ('xla' or 'pallas')."
+    global _CONV3X3_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"Invalid conv3x3 impl {impl!r}")
+    _CONV3X3_IMPL = impl
 
 
 # --- reference-API compatibility shims (uniception/models/utils/config.py:20-34) ---

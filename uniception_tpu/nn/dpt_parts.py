@@ -15,6 +15,7 @@ align_corners=True weights (ops/resize.py).
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -39,19 +40,50 @@ __all__ = [
 DPT_ADAPTER_CHECKPOINT_ALIASES = (r"scratch\.layer_rn\.", r"(^|\.)act_postprocess\.")
 
 
-def Conv2dTorch(cin, cout, kernel_size, stride=1, padding=0, bias=True, *, dtype=None, param_dtype=jnp.float32, rngs):
-    """nnx.Conv over NHWC with torch Conv2d padding semantics.
+class _Conv2dDPT(nnx.Conv):
+    """nnx.Conv with an opt-in Pallas lowering for the 3x3/s1/p1 case.
 
-    Perf note (measured, do not retry): at DPT shapes (256ch @ 256², B2,
-    TPU v5e) XLA's conv runs ~80 TF/s independent of dtype; re-lowering the
-    3x3/s1 case as 9 shifted einsum GEMMs is 2-3x SLOWER (each einsum
-    re-reads the input from HBM — XLA's conv schedule reuses taps in VMEM,
-    so the "conv as matmuls" trick loses to the native lowering here).
+    Perf notes (measured on v5e, BASELINE.md — do not retry the losers):
+      * re-lowering as 9 separate *einsum* GEMMs is 2-3x SLOWER (each
+        einsum re-reads the input from HBM; XLA's conv reuses taps in VMEM);
+      * the Pallas kernel (ops/conv3x3.py — one VMEM tile, nine MXU
+        matmuls) beats XLA only for bf16 activations at <=256² spatial
+        (fusion@128²: 175 vs 125 TF/s; conv1@256²: +13%) and loses for
+        f32 (XLA's conv already computes f32 at bf16 rate via
+        allow_excess_precision) and at 512² (sublane-shift overhead), so
+        dispatch applies exactly those measured bounds.
     """
+
+    def __call__(self, x):
+        from uniception_tpu.models.utils.config import get_conv3x3_impl
+
+        k = self.kernel[...]
+        if (
+            get_conv3x3_impl() == "pallas"
+            and x.dtype == jnp.bfloat16
+            and k.shape[:2] == (3, 3)
+            and tuple(self.strides) == (1, 1)
+            and tuple(self.padding) == ((1, 1), (1, 1))
+            and self.feature_group_count == 1
+            and x.ndim == 4
+            and x.shape[1] * x.shape[2] <= 256 * 256
+            and x.shape[3] % 128 == 0
+            and k.shape[3] % 128 == 0
+            and jax.devices()[0].platform == "tpu"
+        ):
+            from uniception_tpu.ops.conv3x3 import conv3x3_nhwc
+
+            b = self.bias[...] if self.bias is not None else None
+            return conv3x3_nhwc(x, k.astype(jnp.bfloat16), b, block_h=8)
+        return super().__call__(x)
+
+
+def Conv2dTorch(cin, cout, kernel_size, stride=1, padding=0, bias=True, *, dtype=None, param_dtype=jnp.float32, rngs):
+    "nnx.Conv over NHWC with torch Conv2d padding semantics (see _Conv2dDPT for the Pallas option)."
     k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
-    return nnx.Conv(
+    return _Conv2dDPT(
         cin, cout, kernel_size=k, strides=s, padding=p, use_bias=bias, dtype=dtype, param_dtype=param_dtype, rngs=rngs
     )
 

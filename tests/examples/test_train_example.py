@@ -1,0 +1,39 @@
+"""
+examples/train_dust3r.py must run end-to-end (pipeline -> sharded step ->
+checkpoint) on the virtual CPU mesh, exactly as documented in its header.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import pytest
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_train_example_runs_and_saves(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split() if "device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=8"])
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "train_dust3r.py"),
+            "--steps", "2", "--dataset-size", "16", "--batch", "8",
+            "--zero1", "--ckpt-dir", str(tmp_path / "ckpt"),
+        ],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "step " in out.stdout and "saved params+opt_state+step" in out.stdout, out.stdout
+    assert (tmp_path / "ckpt").exists()

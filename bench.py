@@ -41,7 +41,7 @@ def main():
 
         set_attention_quant(os.environ["BENCH_ATTN_QUANT"])
     IMG = int(os.environ.get("BENCH_IMG", "512"))
-    BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # sweep: b2=57.6, b3=56.8, b4=56.1, b8=51.9 pairs/s
+    BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # int8+scan sweep: b2=70.6, b3=69.2; dpt b2>b1; 224 optimum is b16
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
     # int8: w8a8 dynamic-quantized trunk projections (nn/quant.py) — the
     # production serving configuration; MXU int8 runs at 2x the bf16 rate.

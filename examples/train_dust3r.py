@@ -109,6 +109,14 @@ def main():
     start_step = 0
     if args.resume and args.ckpt_dir and os.path.isdir(args.ckpt_dir):
         params, opt_state, start_step = restore_train_state(args.ckpt_dir, params, opt_state)
+        # restored arrays come back unsharded (restore_train_state contract)
+        # — re-apply the mesh layouts or tp/zero1 silently degrade to
+        # full per-device replicas after resume
+        from uniception_tpu.parallel.mesh import replicate_state, tp_shard_state, zero1_shard_state
+
+        with ctx.mesh:
+            params = tp_shard_state(params, ctx.mesh) if args.tp > 1 else replicate_state(params, ctx.mesh)
+            opt_state = zero1_shard_state(opt_state, ctx.mesh) if args.zero1 else replicate_state(opt_state, ctx.mesh)
         print(f"resumed from {args.ckpt_dir} at step {start_step}")
 
     data = synthetic_dataset(args.dataset_size, args.img)

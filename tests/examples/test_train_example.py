@@ -15,18 +15,18 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_train_example_runs_and_saves(tmp_path):
+def _run(tmp_path, *extra):
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     flags = [f for f in env.get("XLA_FLAGS", "").split() if "device_count" not in f]
     env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=8"])
-    out = subprocess.run(
+    return subprocess.run(
         [
             sys.executable,
             os.path.join(REPO, "examples", "train_dust3r.py"),
             "--steps", "2", "--dataset-size", "16", "--batch", "8",
-            "--zero1", "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--zero1", "--ckpt-dir", str(tmp_path / "ckpt"), *extra,
         ],
         env=env,
         cwd=REPO,
@@ -34,6 +34,16 @@ def test_train_example_runs_and_saves(tmp_path):
         text=True,
         timeout=600,
     )
+
+
+def test_train_example_runs_saves_and_resumes(tmp_path):
+    out = _run(tmp_path)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "step " in out.stdout and "saved params+opt_state+step" in out.stdout, out.stdout
     assert (tmp_path / "ckpt").exists()
+
+    # resume leg: restored state must re-shard (zero1) and continue from step 2
+    out = _run(tmp_path, "--resume")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "at step 2" in out.stdout, out.stdout
+    assert "step     4" in out.stdout, out.stdout

@@ -61,6 +61,8 @@ class _Conv2dDPT(nnx.Conv):
         if (
             get_conv3x3_impl() == "pallas"
             and x.dtype == jnp.bfloat16
+            and self.dtype == jnp.bfloat16  # only modules explicitly built bf16 (head_dtype
+            # region) — a dtype=None conv must keep its f32 promote-compute semantics
             and k.shape[:2] == (3, 3)
             and tuple(self.strides) == (1, 1)
             and tuple(self.padding) == ((1, 1), (1, 1))

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-__all__ = ["Int8Linear", "quantize_linears", "quantize_int8", "calibrate_static_scales"]
+__all__ = ["Int8Linear", "quantize_linears", "quantize_int8"]
 
 
 def quantize_int8(w: jnp.ndarray, axis: int = 0):
@@ -63,8 +63,10 @@ class Int8Linear(nnx.Module):
         self.in_features = int(w_q.shape[-2])
         self.out_features = int(w_q.shape[-1])
         # static-activation-scale mode (w8a8-static): a per-tensor input
-        # scale frozen from calibration replaces the per-token abs-max
-        # (see calibrate_static_scales). () f32 when set; None = dynamic.
+        # scale (produced by the user's offline calibration, e.g.
+        # max|x|/127 over a calibration set) replaces the per-token
+        # abs-max. () f32 when set; None = dynamic (the default — measured
+        # as fast as static on v5e, see BASELINE.md).
         self.a_scale = nnx.Param(jnp.asarray(a_scale, jnp.float32)) if a_scale is not None else None
 
     @classmethod

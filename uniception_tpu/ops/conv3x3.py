@@ -49,8 +49,16 @@ def conv3x3_nhwc(x, w, b=None, *, block_h: int = 16, interpret: bool = False):
 
     x: (B, H, W, C); w: (3, 3, C, Co) (flax HWIO); b: (Co,) or None.
     Returns (B, H, W, Co) in x.dtype. Accumulation is fp32 (same numerics
-    as XLA's conv with preferred fp32 accumulation).
+    as XLA's conv with preferred fp32 accumulation). Differentiable: the
+    backward pass runs through the XLA conv (custom_vjp below) — the
+    Pallas kernel is forward/serving-only, gradients are exact.
     """
+    if b is None:
+        return _conv3x3_vjp_nobias(x, w, block_h, interpret)
+    return _conv3x3_vjp(x, w, b, block_h, interpret)
+
+
+def _conv3x3_pallas_impl(x, w, b, block_h, interpret):
     B, H, W, C = x.shape
     Co = w.shape[-1]
     th = min(block_h, H)
@@ -80,6 +88,47 @@ def conv3x3_nhwc(x, w, b=None, *, block_h: int = 16, interpret: bool = False):
 
     out = out.reshape(B, Hp, W, Co)
     return out[:, :H] if Hp != H else out
+
+
+# custom VJPs: Pallas forward, exact XLA-conv backward (the kernel itself
+# is serving-oriented; training through it must not crash — mirrors the
+# flash-attention fallback pattern in ops/flash_attention.py)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_vjp(x, w, b, block_h, interpret):
+    return _conv3x3_pallas_impl(x, w, b, block_h, interpret)
+
+
+def _conv3x3_vjp_fwd(x, w, b, block_h, interpret):
+    return _conv3x3_pallas_impl(x, w, b, block_h, interpret), (x, w, b)
+
+
+def _conv3x3_vjp_bwd(block_h, interpret, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(conv3x3_reference, x, w, b)
+    return vjp(g)
+
+
+_conv3x3_vjp.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv3x3_vjp_nobias(x, w, block_h, interpret):
+    return _conv3x3_pallas_impl(x, w, None, block_h, interpret)
+
+
+def _conv3x3_vjp_nobias_fwd(x, w, block_h, interpret):
+    return _conv3x3_pallas_impl(x, w, None, block_h, interpret), (x, w)
+
+
+def _conv3x3_vjp_nobias_bwd(block_h, interpret, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, w: conv3x3_reference(x, w, None), x, w)
+    return vjp(g)
+
+
+_conv3x3_vjp_nobias.defvjp(_conv3x3_vjp_nobias_fwd, _conv3x3_vjp_nobias_bwd)
 
 
 def conv3x3_reference(x, w, b=None):

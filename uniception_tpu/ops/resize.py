@@ -79,15 +79,12 @@ def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndar
     return x
 
 
-def interpolate(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilinear", align_corners: bool = False):
-    """torch.nn.functional.interpolate equivalent over (..., H, W) arrays.
+def _resolve_plan(H, W, size, scale_factor, mode, align_corners):
+    """Shared size/scale/mode resolution for both layout variants.
 
-    Supports mode in {"bilinear", "bicubic", "nearest"}. When scale_factor
-    is given, source coordinates use the *explicit* scale (torch semantics:
-    src = (i + 0.5) / scale - 0.5), which matters for DINO's historical
-    interpolate_offset=0.1 kludge.
+    Returns (kind, payload): ("identity", None), ("weights", (wh, ww)) for
+    the separable-matrix modes, or ("nearest", (hi, wi)) index arrays.
     """
-    H, W = x.shape[-2], x.shape[-1]
     scales = (None, None)
     if size is None:
         assert scale_factor is not None
@@ -97,20 +94,33 @@ def interpolate(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilin
             scales = (float(sf[0]), float(sf[1]))
     Ho, Wo = int(size[0]), int(size[1])
     if (Ho, Wo) == (H, W) and scales == (None, None):
-        return x
+        return "identity", None
     if mode == "bilinear":
-        return _apply_separable(
-            x, _linear_weights(H, Ho, align_corners, scales[0]), _linear_weights(W, Wo, align_corners, scales[1])
-        )
+        return "weights", (_linear_weights(H, Ho, align_corners, scales[0]), _linear_weights(W, Wo, align_corners, scales[1]))
     if mode == "bicubic":
-        return _apply_separable(
-            x, _cubic_weights(H, Ho, align_corners, scales[0]), _cubic_weights(W, Wo, align_corners, scales[1])
-        )
+        return "weights", (_cubic_weights(H, Ho, align_corners, scales[0]), _cubic_weights(W, Wo, align_corners, scales[1]))
     if mode == "nearest":
         hi = np.clip((np.arange(Ho) * H) // Ho, 0, H - 1)
         wi = np.clip((np.arange(Wo) * W) // Wo, 0, W - 1)
-        return x[..., hi, :][..., wi]
+        return "nearest", (hi, wi)
     raise ValueError(f"Unknown interpolation mode: {mode}")
+
+
+def interpolate(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilinear", align_corners: bool = False):
+    """torch.nn.functional.interpolate equivalent over (..., H, W) arrays.
+
+    Supports mode in {"bilinear", "bicubic", "nearest"}. When scale_factor
+    is given, source coordinates use the *explicit* scale (torch semantics:
+    src = (i + 0.5) / scale - 0.5), which matters for DINO's historical
+    interpolate_offset=0.1 kludge.
+    """
+    kind, payload = _resolve_plan(x.shape[-2], x.shape[-1], size, scale_factor, mode, align_corners)
+    if kind == "identity":
+        return x
+    if kind == "nearest":
+        hi, wi = payload
+        return x[..., hi, :][..., wi]
+    return _apply_separable(x, *payload)
 
 
 def interpolate_nhwc(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "bilinear", align_corners: bool = False):
@@ -123,27 +133,13 @@ def interpolate_nhwc(x: jnp.ndarray, size=None, scale_factor=None, mode: str = "
     transposes into the contraction and prefers that layout; use this
     variant for clarity in NHWC code, not for speed.
     """
-    H, W = x.shape[1], x.shape[2]
-    scales = (None, None)
-    if size is None:
-        assert scale_factor is not None
-        sf = scale_factor if isinstance(scale_factor, (tuple, list)) else (scale_factor, scale_factor)
-        size = (int(H * sf[0]), int(W * sf[1]))
-        if not align_corners:
-            scales = (float(sf[0]), float(sf[1]))
-    Ho, Wo = int(size[0]), int(size[1])
-    if (Ho, Wo) == (H, W) and scales == (None, None):
+    kind, payload = _resolve_plan(x.shape[1], x.shape[2], size, scale_factor, mode, align_corners)
+    if kind == "identity":
         return x
-    if mode == "bilinear":
-        wh, ww = _linear_weights(H, Ho, align_corners, scales[0]), _linear_weights(W, Wo, align_corners, scales[1])
-    elif mode == "bicubic":
-        wh, ww = _cubic_weights(H, Ho, align_corners, scales[0]), _cubic_weights(W, Wo, align_corners, scales[1])
-    elif mode == "nearest":
-        hi = np.clip((np.arange(Ho) * H) // Ho, 0, H - 1)
-        wi = np.clip((np.arange(Wo) * W) // Wo, 0, W - 1)
+    if kind == "nearest":
+        hi, wi = payload
         return x[:, hi][:, :, wi]
-    else:
-        raise ValueError(f"Unknown interpolation mode: {mode}")
+    wh, ww = payload
     dt = x.dtype
     x = jnp.einsum("oh,bhwc->bowc", jnp.asarray(wh, dt), x)
     x = jnp.einsum("pw,bowc->bopc", jnp.asarray(ww, dt), x)

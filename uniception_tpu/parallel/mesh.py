@@ -140,6 +140,11 @@ def zero1_shard_state(state, mesh: Mesh):
         if isinstance(shard, NamedSharding):
             spec = list(shard.spec) + [None] * (x.ndim - len(shard.spec))
             existing = spec[: x.ndim]
+        if "data" in existing:
+            # already data-sharded (e.g. a checkpoint restored with its
+            # sharding intact) — re-placing it with the same spec is
+            # idempotent; adding another 'data' axis would be invalid
+            return jax.device_put(x, NamedSharding(mesh, P(*existing)))
         candidates = [
             d for d in range(x.ndim) if existing[d] is None and x.shape[d] % data_size == 0 and x.shape[d] > 1
         ]

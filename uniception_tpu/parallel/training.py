@@ -95,8 +95,14 @@ def make_train_step(
             opt_state = zero1_shard_state(opt_state, mesh)
     # pin the optimizer-state layout across steps: without the constraint
     # XLA is free to re-replicate the moments on the step's outputs,
-    # silently undoing the ZeRO-1 memory saving
-    opt_shardings = jax.tree.map(lambda x: getattr(x, "sharding", None), opt_state) if zero1 else None
+    # silently undoing the ZeRO-1 memory saving. Leaves without a sharding
+    # (non-array entries of a custom tx) map to a sentinel OBJECT, not
+    # None — None is pytree structure, and a None would make the
+    # tree.map in step() fail with a structure mismatch.
+    _NO_SHARDING = object()
+    opt_shardings = (
+        jax.tree.map(lambda x: getattr(x, "sharding", None) or _NO_SHARDING, opt_state) if zero1 else None
+    )
 
     if loss_fn is None:
         def loss_fn(m, img1, img2, target1, target2):
@@ -114,7 +120,7 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         if opt_shardings is not None:
             opt_state = jax.tree.map(
-                lambda x, s: jax.lax.with_sharding_constraint(x, s) if s is not None else x,
+                lambda x, s: x if s is _NO_SHARDING else jax.lax.with_sharding_constraint(x, s),
                 opt_state,
                 opt_shardings,
             )

@@ -44,6 +44,7 @@ def parse_args():
     p.add_argument("--enc-dim", type=int, default=1024)
     p.add_argument("--enc-heads", type=int, default=16)
     p.add_argument("--int8", action="store_true", help="w8a8-quantize the trunk linears (production serving config)")
+    p.add_argument("--no-scan", action="store_true", help="use the loop layout instead of scan-over-stacked-blocks")
     return p.parse_args()
 
 
@@ -86,6 +87,9 @@ def main():
         enc_embed_dim=args.enc_dim,
         enc_depth=args.enc_depth,
         enc_num_heads=args.enc_heads,
+        # scan layout: 6x faster compiles and the fastest measured serving
+        # configuration (BASELINE.md); --no-scan restores the loop layout
+        scan_blocks=not args.no_scan,
         dtype=jnp.bfloat16,
         rngs=nnx.Rngs(0),
     )

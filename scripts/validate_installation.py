@@ -5,8 +5,13 @@ scripts/validate_installation.py:13-80): imports, device detection, a tiny
 jitted forward through every registry entry that can construct offline.
 """
 
+import os
 import sys
 import traceback
+
+# validate the in-place checkout too (every other script does this; an
+# installed package simply shadows the path entry)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

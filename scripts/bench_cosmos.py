@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""
+Cosmos tokenizer throughput: continuous-image encode / decode / autoencode
+at 512² (reference ships the tokenizer with no numbers —
+uniception/models/libs/cosmos_tokenizer; this records the TPU rate).
+
+Usage: python scripts/bench_cosmos.py [--batch 4] [--img 512] [--patch 8]
+Prints one JSON line per stage.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--patch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.models.encoders.base import ViTEncoderInput
+    from uniception_tpu.models.encoders.cosmos import CosmosEncoder
+    from uniception_tpu.models.prediction_heads.cosmos import CosmosSingleChannel
+    from uniception_tpu.utils.profile import benchmark_fn_chained
+
+    encoder = CosmosEncoder(name="cosmos", patch_size=args.patch, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    decoder = CosmosSingleChannel(patch_size=args.patch, dtype=jnp.bfloat16, rngs=nnx.Rngs(1))
+    for m in (encoder, decoder):
+        gd, st = nnx.split(m)
+        st = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, st)
+        nnx.update(m, st)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(args.batch, 3, args.img, args.img).astype(np.float32) * 2 - 1)
+    latent = encoder(ViTEncoderInput(image=img, data_norm_type="cosmos")).features
+
+    def enc(img, c):
+        out = encoder(ViTEncoderInput(image=img + (c * 1e-12).astype(img.dtype), data_norm_type="cosmos"))
+        return out.features.mean().astype(jnp.float32)
+
+    def dec(latent, c):
+        return decoder(latent + (c * 1e-12).astype(latent.dtype)).mean().astype(jnp.float32)
+
+    def roundtrip(img, c):
+        z = encoder(ViTEncoderInput(image=img + (c * 1e-12).astype(img.dtype), data_norm_type="cosmos")).features
+        return decoder(z).mean().astype(jnp.float32)
+
+    for name, fn, arg in (("encode", enc, img), ("decode", dec, latent), ("autoencode", roundtrip, img)):
+        sec = benchmark_fn_chained(fn, arg, iters=args.iters)
+        print(
+            json.dumps(
+                {
+                    "metric": f"cosmos_ci{args.patch}x{args.patch}_{args.img}_{name}_images_per_sec",
+                    "value": round(args.batch / sec, 2),
+                    "unit": "images/s/chip",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -210,8 +210,24 @@ def _plan(q, k, scale, block_q, block_k):
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5 if scale is None else scale
+    # shrink tiles for wide heads: the default 1024/1024 plan is sized for
+    # D=64 (ViT); at e.g. D=512 (cosmos tokenizer mid-block single-head
+    # attention) the q/k/v tiles + (bq, bk) score buffer exceed the 16 MB
+    # VMEM scoped limit and Mosaic refuses to compile. Halve the blocks
+    # until the working set fits a conservative budget.
     bq = min(block_q, _round_up(Nq, 8))
     bk = min(block_k, _round_up(Nk, 8))
+    itemsize = 2 if q.dtype != jnp.float32 else 4
+
+    def working_set(bq, bk):
+        # double-buffered q/k/v tiles + fp32 scores and output accumulators
+        return 2 * (bq + 2 * bk) * D * itemsize + bq * bk * 4 + bq * D * 4
+
+    while working_set(bq, bk) > 8 * 1024 * 1024 and (bq > 128 or bk > 128):
+        if bq >= bk and bq > 128:
+            bq //= 2
+        else:
+            bk //= 2
     return B, Nq, Nk, H, D, scale, bq, bk, _round_up(Nq, bq), _round_up(Nk, bk)
 
 

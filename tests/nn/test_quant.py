@@ -161,3 +161,27 @@ def test_quantized_dust3r_parity_small():
     for refv, outv in ((ref1["pts3d"], out1["pts3d"]), (ref1["conf"], out1["conf"])):
         rel = float(jnp.linalg.norm(outv - refv) / jnp.linalg.norm(refv))
         assert rel < 3e-2, rel
+
+
+def test_quantize_linears_predicate_receives_dotted_paths():
+    """The predicate must see real dotted paths (e.g. 'blocks.0.attn.qkv'),
+    so path-based filters ('skip qkv') actually select layers."""
+    blk = SelfAttentionBlock(dim=128, num_heads=4, mlp_ratio=2.0, rngs=nnx.Rngs(0))
+
+    seen = []
+
+    def record(path, lin):
+        seen.append(path)
+        return True
+
+    n_all = quantize_linears(blk, min_params=1, predicate=record)
+    assert n_all == len(seen) > 0
+    assert all(p for p in seen), f"empty path handed to predicate: {seen}"
+    assert any(p.endswith("qkv") for p in seen), seen
+    assert any("mlp" in p or "fc1" in p for p in seen), seen
+
+    # a path-based filter must actually skip what it names
+    blk2 = SelfAttentionBlock(dim=128, num_heads=4, mlp_ratio=2.0, rngs=nnx.Rngs(0))
+    n_noqkv = quantize_linears(blk2, min_params=1, predicate=lambda p, lin: not p.endswith("qkv"))
+    assert n_noqkv == n_all - 1
+    assert isinstance(blk2.attn.qkv, nnx.Linear) and not isinstance(blk2.attn.qkv, Int8Linear)

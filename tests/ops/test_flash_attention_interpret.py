@@ -51,3 +51,21 @@ def test_interpret_backward():
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_plan_shrink_keeps_sublane_alignment():
+    """The VMEM shrink loop must emit 8-aligned block sizes even when the
+    starting bq/bk is not a power of two (e.g. Nq=1032 at D=512: 1032/2=516
+    is not a multiple of the 8-sublane tile and Mosaic can refuse it)."""
+    from uniception_tpu.ops.flash_attention import _plan
+
+    for nq, nk, d in [(1032, 1032, 512), (1000, 1000, 256), (4104, 4104, 128), (1024, 1024, 512)]:
+        q = jax.ShapeDtypeStruct((1, nq, 1, d), jnp.bfloat16)
+        k = jax.ShapeDtypeStruct((1, nk, 1, d), jnp.bfloat16)
+        B, Nq, Nk, H, D, scale, bq, bk, nq_pad, nk_pad = _plan(q, k, None, 1024, 1024)
+        assert bq % 8 == 0 and bk % 8 == 0, (nq, d, bq, bk)
+        assert nq_pad % bq == 0 and nk_pad % bk == 0
+        # the shrink loop's goal: the working set actually fits
+        itemsize = 2
+        ws = 2 * (bq + 2 * bk) * D * itemsize + bq * bk * 4 + bq * D * 4
+        assert ws <= 8 * 1024 * 1024 or (bq <= 128 and bk <= 128), (nq, d, bq, bk, ws)

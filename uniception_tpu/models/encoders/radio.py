@@ -9,8 +9,10 @@ Structural difference: the reference pulls the trunk from torch.hub
 (NVlabs/RADIO) at runtime; this implementation ships a self-contained
 ViT trunk (timm-style: patch 16, cls + register tokens, no LayerScale)
 matching the RADIO ViT variants, loading converted checkpoints. The
-E-RADIO hybrid conv-transformer variant is not yet implemented
-(raises NotImplementedError, tracked as a known gap).
+E-RADIO variant dispatches to a capability-equivalent hybrid
+conv + windowed-attention trunk (encoders/eradio.py); the true NVlabs
+architecture lives only in torch.hub, so hub checkpoints cannot be
+loaded (network-gated known gap — contract tests only).
 """
 
 from typing import List, Optional, Union

@@ -68,7 +68,7 @@ class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransform
             **kwargs,
         )
 
-    def _apply_frame(self, blk, tokens, pos, meta):
+    def _apply_frame(self, blk, tokens, pos, meta, remat=None):
         "Frame-local attention: split off global extra tokens, fold views into batch."
         B, H, W, num_views, n_tok_per_view, n_extra_per_view, n_global = meta
         n_view_tokens = num_views * n_tok_per_view
@@ -79,7 +79,7 @@ class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransform
         frame_pos = None
         if pos is not None:
             frame_pos = pos[:, :n_view_tokens].reshape(B * num_views, n_tok_per_view, 2)
-        frame_tokens = self._block_apply(blk, frame_tokens, frame_pos)
+        frame_tokens = self._block_apply(blk, frame_tokens, frame_pos, remat=remat)
         view_part = reshape_from_frame_attention(frame_tokens, B, num_views, n_tok_per_view, self.dim)
 
         if extra_part is not None:
@@ -93,15 +93,20 @@ class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransform
             return self._block_apply(blk, tokens, pos)
         return self._apply_frame(blk, tokens, pos, meta)
 
-    def _run_all(self, tokens, pos, meta, collect: bool = False):
+    def _run_all(self, tokens, pos, meta, collect: bool = False, take_indices=None):
         """All depths; scan layout pairs one (global, frame) step per scan
-        iteration over half-depth-stacked params (requires even depth)."""
+        iteration over half-depth-stacked params (requires even depth).
+
+        Loop-layout collect retains only ``take_indices`` depths (dict keyed
+        by depth) to keep IFR peak memory at |take_indices| x (B, N, C)."""
         if not self.scan_blocks:
             if collect:
-                ys = []
+                keep = range(self.depth) if take_indices is None else set(take_indices)
+                ys = {}
                 for depth_idx in range(self.depth):
                     tokens = self._run_depth(depth_idx, tokens, pos, meta)
-                    ys.append(tokens)
+                    if depth_idx in keep:
+                        ys[depth_idx] = tokens
                 return tokens, ys
             for depth_idx in range(self.depth):
                 tokens = self._run_depth(depth_idx, tokens, pos, meta)
@@ -115,9 +120,12 @@ class MultiViewAlternatingAttentionTransformer(MultiViewGlobalAttentionTransform
         odd = jax.tree.map(lambda a: a[1::2], state)
 
         def body(c, xs):
+            # remat=False: the single jax.checkpoint(body) wrapper below is
+            # the checkpoint boundary — letting _block_apply remat again
+            # would nest remat twice per (global, frame) pair
             even_state, odd_state = xs
-            c1 = self._block_apply(nnx.merge(graphdef, even_state), c, pos)
-            c2 = self._apply_frame(nnx.merge(graphdef, odd_state), c1, pos, meta)
+            c1 = self._block_apply(nnx.merge(graphdef, even_state), c, pos, remat=False)
+            c2 = self._apply_frame(nnx.merge(graphdef, odd_state), c1, pos, meta, remat=False)
             return c2, ((c1, c2) if collect else None)
 
         if self.gradient_checkpointing:
@@ -163,7 +171,7 @@ class MultiViewAlternatingAttentionTransformerIFR(MultiViewAlternatingAttentionT
         take_indices, _ = feature_take_indices(self.depth, self.indices)
         tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
 
-        tokens, per_depth = self._run_all(tokens, pos, meta, collect=True)
+        tokens, per_depth = self._run_all(tokens, pos, meta, collect=True, take_indices=take_indices)
         intermediates = []
         for depth_idx in take_indices:
             t = self.norm(per_depth[depth_idx]) if self.norm_intermediate else per_depth[depth_idx]

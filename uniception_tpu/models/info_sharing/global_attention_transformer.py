@@ -150,24 +150,34 @@ class _GlobalAttentionBase(UniCeptionInfoSharingBase):
             state = {k: v for k, v in ckpt["model"].items() if "pos_table" not in k}
             load_torch_state_dict(self, state)
 
-    def _block_apply(self, blk, x, pos):
-        if self.gradient_checkpointing:
+    def _block_apply(self, blk, x, pos, remat=None):
+        "remat overrides self.gradient_checkpointing (e.g. False inside an already-rematted scan body)."
+        remat = self.gradient_checkpointing if remat is None else remat
+        if remat:
             return remat_call(blk, x, pos)
         return blk(x, pos)
 
-    def _run_blocks(self, tokens, pos, collect: bool = False):
-        "Run the depth loop in whichever layout this instance stores (loop/scan)."
+    def _run_blocks(self, tokens, pos, collect: bool = False, take_indices=None):
+        """Run the depth loop in whichever layout this instance stores (loop/scan).
+
+        With collect=True the scan layout returns a (depth, ...) stacked array
+        (inherent to lax.scan); the loop layout returns a {depth_idx: tokens}
+        dict retaining only ``take_indices`` (all depths when None) so IFR
+        peak activation memory stays |take_indices| x (B, N, C), not depth x.
+        """
         if self.scan_blocks:
             return scan_apply(
                 self.self_attention_blocks, tokens, pos,
                 collect=collect, remat=self.gradient_checkpointing,
             )
         if collect:
-            ys = []
-            for blk in self.self_attention_blocks:
+            keep = range(len(self.self_attention_blocks)) if take_indices is None else set(take_indices)
+            ys = {}
+            for depth_idx, blk in enumerate(self.self_attention_blocks):
                 tokens = self._block_apply(blk, tokens, pos)
-                ys.append(tokens)
-            return tokens, jnp.stack(ys)
+                if depth_idx in keep:
+                    ys[depth_idx] = tokens
+            return tokens, ys
         for blk in self.self_attention_blocks:
             tokens = self._block_apply(blk, tokens, pos)
         return tokens
@@ -318,7 +328,7 @@ class MultiViewGlobalAttentionTransformerIFR(MultiViewGlobalAttentionTransformer
         take_indices, _ = feature_take_indices(self.depth, self.indices)
         tokens, pos, meta = self._prepare_tokens(model_input, rng_key)
 
-        tokens, per_depth = self._run_blocks(tokens, pos, collect=True)
+        tokens, per_depth = self._run_blocks(tokens, pos, collect=True, take_indices=take_indices)
         intermediates = []
         for depth_idx in take_indices:
             t = self.norm(per_depth[depth_idx]) if self.norm_intermediate else per_depth[depth_idx]

@@ -100,13 +100,13 @@ class Int8Linear(nnx.Module):
 
 
 def _maybe_children(node):
-    "Yield (setter, child) pairs for nnx.Module attributes and list items."
+    "Yield (setter, name, child) triples for nnx.Module attributes and list items."
     if isinstance(node, nnx.Module):
         for name, value in list(vars(node).items()):
-            yield (lambda v, n=node, a=name: setattr(n, a, v)), value
+            yield (lambda v, n=node, a=name: setattr(n, a, v)), name, value
     elif isinstance(node, (list, nnx.List)):
         for i, value in enumerate(list(node)):
-            yield (lambda v, n=node, j=i: n.__setitem__(j, v)), value
+            yield (lambda v, n=node, j=i: n.__setitem__(j, v)), str(i), value
 
 
 def quantize_linears(
@@ -125,12 +125,13 @@ def quantize_linears(
         top of the size threshold.
     """
     count = 0
-    for setter, child in _maybe_children(module):
+    for setter, name, child in _maybe_children(module):
+        child_path = f"{_path}.{name}".lstrip(".")
         if isinstance(child, nnx.Linear):
             k = child.kernel[...]
-            if k.size >= min_params and (predicate is None or predicate(_path, child)):
+            if k.size >= min_params and (predicate is None or predicate(child_path, child)):
                 setter(Int8Linear.from_linear(child))
                 count += 1
         elif isinstance(child, (nnx.Module, list, nnx.List)) and not isinstance(child, Int8Linear):
-            count += quantize_linears(child, min_params=min_params, predicate=predicate, _path=_path)
+            count += quantize_linears(child, min_params=min_params, predicate=predicate, _path=child_path)
     return count

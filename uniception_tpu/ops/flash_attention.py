@@ -223,11 +223,14 @@ def _plan(q, k, scale, block_q, block_k):
         # double-buffered q/k/v tiles + fp32 scores and output accumulators
         return 2 * (bq + 2 * bk) * D * itemsize + bq * bk * 4 + bq * D * 4
 
+    # Halved sizes are re-aligned to the 8-sublane tile: bq starts at
+    # round_up(Nq, 8), which need not be a power of two (e.g. Nq=1032 ->
+    # 1032//2=516, not sublane-aligned — Mosaic can refuse such blocks).
     while working_set(bq, bk) > 8 * 1024 * 1024 and (bq > 128 or bk > 128):
         if bq >= bk and bq > 128:
-            bq //= 2
+            bq = _round_up(bq // 2, 8)
         else:
-            bk //= 2
+            bk = _round_up(bk // 2, 8)
     return B, Nq, Nk, H, D, scale, bq, bk, _round_up(Nq, bq), _round_up(Nk, bk)
 
 

@@ -52,6 +52,17 @@ TP_RULES = [
     (re.compile(r".*\battn\.proj\.kernel$"), P("model", None)),
     (re.compile(r".*\bcross_attn\.proj\.kernel$"), P("model", None)),
     (re.compile(r".*\b(fc2|w3)\.kernel$"), P("model", None)),
+    # Int8Linear (nn/quant.py) stores its weight as w_q (in, out) int8 plus
+    # a per-output-channel w_scale (1, out); shard them like the bf16 kernel
+    # they replace. Column-parallel w_scale shards with the output axis;
+    # row-parallel w_scale is per-output (tiny) and stays replicated.
+    (re.compile(r".*\b(qkv|projq|projk|projv)\.w_q$"), P(None, "model")),
+    (re.compile(r".*\b(qkv|projq|projk|projv)\.w_scale$"), P(None, "model")),
+    (re.compile(r".*\b(fc1|w12)\.w_q$"), P(None, "model")),
+    (re.compile(r".*\b(fc1|w12)\.w_scale$"), P(None, "model")),
+    (re.compile(r".*\battn\.proj\.w_q$"), P("model", None)),
+    (re.compile(r".*\bcross_attn\.proj\.w_q$"), P("model", None)),
+    (re.compile(r".*\b(fc2|w3)\.w_q$"), P("model", None)),
 ]
 
 

@@ -121,3 +121,52 @@ def test_pipeline_croco_encoder():
     out = pipeline_blocks(enc.enc_blocks, feats, pos, mesh=_mesh(4), num_microbatches=4)
     out = enc._to_bchw(enc.enc_norm(out), h, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def _mesh2(stages, data):
+    devs = np.asarray(jax.devices()[: stages * data]).reshape(stages, data)
+    return Mesh(devs, ("stage", "data"))
+
+
+@pytest.mark.parametrize("stages,data,microbatches", [(2, 4, 4), (4, 2, 4)])
+def test_pipeline_dp_composition_matches_scan(stages, data, microbatches):
+    """pp x dp on a ("stage", "data") mesh: microbatches batch-sharded over
+    the data axis within each stage — the deployable pod layout."""
+    stacked = _stacked(depth=8)
+    B = microbatches * data  # one sample per (microbatch, data shard)
+    x = jnp.asarray(np.random.RandomState(4).randn(B, 16, 32).astype(np.float32))
+    ref = scan_blocks(stacked, x)
+    mesh = _mesh2(stages, data)
+    out = pipeline_blocks(stacked, x, mesh=mesh, data_axis="data", num_microbatches=microbatches)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_pipeline_dp_gradients_match_scan():
+    "pp x dp is training-capable: grads through the 2-axis shard_map schedule."
+    stacked = _stacked(depth=4, dim=32)
+    graphdef, params, rest = nnx.split(stacked, nnx.Param, ...)
+    mesh = _mesh2(2, 4)
+    x = jnp.asarray(np.random.RandomState(5).randn(16, 8, 32).astype(np.float32))
+    cot = jnp.asarray(np.random.RandomState(6).randn(16, 8, 32).astype(np.float32))
+
+    def loss_scan(params, x):
+        m = nnx.merge(graphdef, params, rest)
+        return jnp.vdot(scan_blocks(m, x), cot)
+
+    def loss_pp(params, x):
+        m = nnx.merge(graphdef, params, rest)
+        return jnp.vdot(pipeline_blocks(m, x, mesh=mesh, data_axis="data", num_microbatches=4), cot)
+
+    ref = jax.grad(loss_scan)(params, x)
+    out = jax.grad(loss_pp)(params, x)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        if a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_dp_rejects_indivisible_microbatch():
+    stacked = _stacked(depth=4)
+    mesh = _mesh2(2, 4)
+    x = jnp.zeros((4, 16, 32), jnp.float32)  # microbatch of 1 < data=4
+    with pytest.raises(AssertionError):
+        pipeline_blocks(stacked, x, mesh=mesh, data_axis="data", num_microbatches=4)

@@ -78,3 +78,46 @@ def test_sequence_parallel_under_jit():
     out = run(state, views)
     ref = model(MultiViewTransformerInput(features=list(views))).features[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_sequence_parallel_transformer_grads_match_unsharded():
+    """SP for training: parameter gradients of the global-attention
+    transformer under the ring must match the dense path <= 1e-4.
+
+    The loss is a generic vdot against a fixed random cotangent — NOT
+    sum-of-squares: the final LayerNorm puts outputs on a sphere where
+    sum(f^2) is nearly constant, so its upstream gradient is a catastrophic
+    f32 cancellation that drowns both paths in identical-magnitude noise
+    (measured: dense-f32 and ring-f32 each deviate 0.12 from a float64
+    oracle on that loss, while ring-f64 matches dense-f64 to 4e-8)."""
+    mesh = make_mesh(data=8, model=1)
+    model = MultiViewGlobalAttentionTransformer(
+        name="sp_grad", input_embed_dim=48, dim=64, depth=2, num_heads=4, rngs=nnx.Rngs(0)
+    )
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    rng = np.random.RandomState(3)
+    views = [jnp.asarray(rng.randn(2, 48, 4, 4).astype(np.float32)) for _ in range(4)]
+    cots = [jnp.asarray(rng.randn(2, 64, 4, 4).astype(np.float32)) for _ in range(4)]
+
+    def loss(params, use_sp):
+        m = nnx.merge(graphdef, params, rest)
+        inp = MultiViewTransformerInput(features=list(views))
+        if use_sp:
+            with sequence_parallel(mesh, "data"):
+                out = m(inp)
+        else:
+            out = m(inp)
+        return sum(jnp.vdot(f, c) for f, c in zip(out.features, cots))
+
+    g_ref = jax.grad(lambda s: loss(s, False))(params)
+    g_sp = jax.grad(lambda s: loss(s, True))(params)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_sp = jax.tree.leaves(g_sp)
+    assert len(flat_ref) == len(flat_sp) > 0
+    for (path, a), b in zip(flat_ref, flat_sp):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}",
+        )

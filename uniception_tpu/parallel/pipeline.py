@@ -45,6 +45,7 @@ def pipeline_blocks(
     *broadcast_args,
     mesh: Mesh,
     stage_axis: str = "stage",
+    data_axis: Optional[str] = None,
     num_microbatches: Optional[int] = None,
 ):
     """Run depth-stacked blocks (nn/scan.py layout) as a GPipe pipeline.
@@ -52,6 +53,12 @@ def pipeline_blocks(
     x: (B, ...) activations; B must divide by num_microbatches.
     broadcast_args: extra per-sample block inputs (e.g. RoPE positions,
         (B, N, 2)) — microbatched alongside x.
+    data_axis: optional second mesh axis for pp x dp composition (the pod
+        layout): each microbatch's batch dim is sharded over ``data_axis``
+        within every stage, so a ("stage", "data") mesh runs S stages each
+        holding a dp-replica group. Params stay depth-sharded over
+        ``stage_axis`` and replicated over ``data_axis``; the stage-to-stage
+        ppermute and the final psum act per data coordinate.
     Semantics match ``scan_blocks(stacked, x, *broadcast_args)`` exactly;
     only the execution schedule differs.
     """
@@ -61,6 +68,9 @@ def pipeline_blocks(
     batch = x.shape[0]
     M = num_microbatches or num_stages
     assert batch % M == 0, f"batch {batch} not divisible by {M} microbatches"
+    if data_axis is not None:
+        d = mesh.shape[data_axis]
+        assert (batch // M) % d == 0, f"microbatch {batch // M} not divisible by data axis {d}"
 
     graphdef, state = nnx.split(stacked)
 
@@ -78,11 +88,15 @@ def pipeline_blocks(
         out, _ = jax.lax.scan(body, mb, local_state)
         return out
 
+    # microbatch arrays are (M, mb, ...): shard the per-microbatch batch dim
+    # (axis 1) over the data axis when composing pp x dp
+    act_spec = P(None, data_axis) if data_axis is not None else P()
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(stage_axis), state), P(), P()),
-        out_specs=P(),
+        in_specs=(jax.tree.map(lambda _: P(stage_axis), state), act_spec, act_spec),
+        out_specs=act_spec,
     )
     def run(local_state, xm, argsm):
         s_idx = jax.lax.axis_index(stage_axis)

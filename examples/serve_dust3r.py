@@ -75,24 +75,28 @@ def main():
 
     from uniception_tpu.data.pipeline import prefetch_to_device
     from uniception_tpu.models.factory.dust3r import DUSt3R
-    from uniception_tpu.models.utils.config import set_attention_impl
+    from uniception_tpu.models.utils.config import fast_init, set_attention_impl
 
     set_attention_impl("pallas")
-    model = DUSt3R(
-        name="dust3r_serve",
-        img_size=(args.img_size, args.img_size),
-        patch_embed_cls="ManyAR_PatchEmbed",
-        pred_head_type=args.head,
-        pretrained_checkpoint_path=args.checkpoint,
-        enc_embed_dim=args.enc_dim,
-        enc_depth=args.enc_depth,
-        enc_num_heads=args.enc_heads,
-        # scan layout: 6x faster compiles and the fastest measured serving
-        # configuration (BASELINE.md); --no-scan restores the loop layout
-        scan_blocks=not args.no_scan,
-        dtype=jnp.bfloat16,
-        rngs=nnx.Rngs(0),
-    )
+    # fast_init skips the eager PRNG param init (~8x faster cold-start
+    # construction) — safe here only when a checkpoint overwrites the
+    # zeros; random-weight demo mode keeps the real init
+    with fast_init(args.checkpoint is not None):
+        model = DUSt3R(
+            name="dust3r_serve",
+            img_size=(args.img_size, args.img_size),
+            patch_embed_cls="ManyAR_PatchEmbed",
+            pred_head_type=args.head,
+            pretrained_checkpoint_path=args.checkpoint,
+            enc_embed_dim=args.enc_dim,
+            enc_depth=args.enc_depth,
+            enc_num_heads=args.enc_heads,
+            # scan layout: 6x faster compiles and the fastest measured serving
+            # configuration (BASELINE.md); --no-scan restores the loop layout
+            scan_blocks=not args.no_scan,
+            dtype=jnp.bfloat16,
+            rngs=nnx.Rngs(0),
+        )
     graphdef, state = nnx.split(model)
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
     if args.int8:

@@ -75,3 +75,28 @@ def test_cross_attention_distinct_kv_falls_back(fused_mode):
     set_attention_impl("naive")
     ref = mod(xq, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fast_init_zeros_then_checkpoint_load_matches():
+    """fast_init (serving cold-start) must be purely an init-speed knob:
+    zeros-init + weight load == normal init + the same weight load."""
+    import numpy as np
+    from flax import nnx
+    import jax.numpy as jnp
+
+    from uniception_tpu.models.utils.config import fast_init, get_fast_init
+    from uniception_tpu.nn.blocks import SelfAttentionBlock
+
+    assert not get_fast_init()
+    ref = SelfAttentionBlock(dim=64, num_heads=4, rngs=nnx.Rngs(0))
+    with fast_init():
+        fast = SelfAttentionBlock(dim=64, num_heads=4, rngs=nnx.Rngs(0))
+    assert not get_fast_init()  # context restored
+    # fast-init params are zeros (no PRNG work)
+    assert float(jnp.abs(fast.attn.qkv.kernel[...]).max()) == 0.0
+    assert float(jnp.abs(ref.attn.qkv.kernel[...]).max()) > 0.0
+
+    # copying weights over erases the difference entirely
+    nnx.update(fast, nnx.state(ref, nnx.Param))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(fast(x)), np.asarray(ref(x)))

@@ -29,6 +29,9 @@ __all__ = [
     "set_gelu_mode",
     "get_conv3x3_impl",
     "set_conv3x3_impl",
+    "get_fast_init",
+    "set_fast_init",
+    "fast_init",
 ]
 
 _VALID_IMPLS = ("xla", "pallas", "naive", "fused")
@@ -143,3 +146,45 @@ def use_fused_attn() -> bool:
 def set_fused_attn(enable: bool = True):
     "Enable (xla) or disable (naive) fused attention, mirroring the reference API."
     set_attention_impl("xla" if enable else "naive")
+
+
+# Fast (deferred) initialization: skip the expensive random param init when
+# the weights will immediately be overwritten by a checkpoint load — the
+# serving cold-start path. Construction profiling (round 3) showed ~65% of
+# the scan-layout DUSt3R construct time is eager PRNG work inside
+# xavier-uniform / trunc-normal initializers; with fast init those params
+# are zero-filled (an XLA constant, no PRNG) and construction drops
+# accordingly. NEVER use for training-from-scratch (zeros break symmetry
+# breaking); pair it with a pretrained_checkpoint_path or an explicit
+# load_torch_state_dict / restore.
+# Env var UNICEPTION_TPU_FAST_INIT=1 or set_fast_init(True).
+_FAST_INIT = os.environ.get("UNICEPTION_TPU_FAST_INIT", "0") == "1"
+
+
+def get_fast_init() -> bool:
+    "True when fast (zeros) param init is enabled (checkpoint-loading path)."
+    return _FAST_INIT
+
+
+def set_fast_init(enable: bool = True):
+    "Enable/disable fast zeros init for checkpoint-loading construction."
+    global _FAST_INIT
+    _FAST_INIT = bool(enable)
+
+
+class fast_init:
+    "Context manager: construct models with zeros init (then load weights)."
+
+    def __init__(self, enable: bool = True):
+        self.enable = enable
+
+    def __enter__(self):
+        global _FAST_INIT
+        self.prev = _FAST_INIT
+        _FAST_INIT = self.enable
+        return self
+
+    def __exit__(self, *exc):
+        global _FAST_INIT
+        _FAST_INIT = self.prev
+        return False

@@ -36,11 +36,32 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=get_gelu_mode() == "tanh")
 
 
-xavier_uniform = jax.nn.initializers.xavier_uniform()
+_xavier_uniform = jax.nn.initializers.xavier_uniform()
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    """Xavier-uniform init — or zeros under fast init (models/utils/config
+    ``fast_init``: the checkpoint-loading cold-start path, where eager PRNG
+    init is ~65% of scan-layout construction time and is overwritten
+    immediately anyway)."""
+    from uniception_tpu.models.utils.config import get_fast_init
+
+    if get_fast_init():
+        return jnp.zeros(shape, dtype)
+    return _xavier_uniform(key, shape, dtype)
 
 
 def trunc_normal(std: float = 0.02):
-    return jax.nn.initializers.truncated_normal(stddev=std)
+    base = jax.nn.initializers.truncated_normal(stddev=std)
+
+    def init(key, shape, dtype=jnp.float32):
+        from uniception_tpu.models.utils.config import get_fast_init
+
+        if get_fast_init():
+            return jnp.zeros(shape, dtype)
+        return base(key, shape, dtype)
+
+    return init
 
 
 def LinearX(

@@ -48,7 +48,10 @@ def main():
         rngs=nnx.Rngs(0),
     )
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-    tx = optax.adamw(1e-4)
+    # BENCH_MU_DTYPE=bfloat16 stores the first adamw moment in bf16 —
+    # halves its HBM read+write traffic in the bandwidth-bound optimizer
+    mu_dtype = jnp.bfloat16 if os.environ.get("BENCH_MU_DTYPE") == "bfloat16" else None
+    tx = optax.adamw(1e-4, mu_dtype=mu_dtype)
     opt_state = tx.init(params)
 
     def loss_fn(params, img1, img2, ts, tgt1, tgt2, carry):

@@ -69,3 +69,30 @@ def test_plan_shrink_keeps_sublane_alignment():
         itemsize = 2
         ws = 2 * (bq + 2 * bk) * D * itemsize + bq * bk * 4 + bq * D * 4
         assert ws <= 8 * 1024 * 1024 or (bq <= 128 and bk <= 128), (nq, d, bq, bk, ws)
+
+
+@pytest.mark.parametrize("n", [32, 40])  # single-block fused bwd; 40 exercises the k-col mask
+def test_interpret_backward_fused_single_block(n):
+    """Single-block shapes route through the fused dq+dk+dv kernel (5
+    matmuls instead of 7); grads must match the XLA reference exactly as
+    the two-kernel path does."""
+    from uniception_tpu.ops import flash_attention as fa
+
+    rng = np.random.RandomState(2)
+    q, k, v = (jnp.asarray(rng.randn(1, n, 2, 64).astype(np.float32)) for _ in range(3))
+    cot = jnp.asarray(rng.randn(1, n, 2, 64).astype(np.float32))
+
+    # the default plan must actually take the fused path at this shape
+    _, _, _, _, _, _, bq, bk, nq_pad, nk_pad = fa._plan(q, k, None, 1024, 1024)
+    assert nq_pad == bq and nk_pad == bk
+
+    def loss_pallas(q, k, v):
+        return jnp.vdot(fa.flash_attention(q, k, v), cot)
+
+    def loss_ref(q, k, v):
+        return jnp.vdot(jax.nn.dot_product_attention(q, k, v), cot)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_p, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=f"d{name}")

@@ -35,6 +35,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import nnx
 
 from uniception_tpu.nn.common import Identity, LinearX, gelu_exact
@@ -358,6 +359,9 @@ class Attention(nnx.Module):
         )
 
         x = scaled_dot_product_attention(q, k, v, scale=self.scale)
+        # named for selective remat (UNICEPTION_TPU_REMAT_POLICY=attn_out:
+        # save only the attention outputs, recompute the cheap projections)
+        x = checkpoint_name(x, "attn_out")
         x = x.reshape(B, N, self.num_heads * self.head_dim)
         x = self.proj(x)
         x = self.proj_drop(x)
@@ -475,6 +479,7 @@ class CrossAttention(nnx.Module):
         )
 
         x = scaled_dot_product_attention(q, k, v, scale=self.scale)
+        x = checkpoint_name(x, "attn_out")
         x = x.reshape(B, Nq, C)
         x = self.proj(x)
         x = self.proj_drop(x)

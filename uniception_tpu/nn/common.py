@@ -99,13 +99,21 @@ def remat_call(blk: nnx.Module, *args, policy=None):
     policy: optional jax.checkpoint_policies.* for selective remat (e.g.
     dots_with_no_batch_dims_saveable keeps matmul outputs and only
     recomputes the cheap elementwise tail — usually the best HBM/FLOPs
-    trade on TPU). Set UNICEPTION_TPU_REMAT_POLICY=dots to make it the
-    default for remat-enabled models.
+    trade on TPU). Env default UNICEPTION_TPU_REMAT_POLICY:
+        "dots"     -> dots_with_no_batch_dims_saveable
+        "attn_out" -> save_only_these_names("attn_out"): keep just the
+                      attention outputs (the expensive-to-recompute kernel
+                      results, named in nn/blocks.py) and recompute the
+                      projections/norms/MLP — ~1 of ~14 per-block
+                      activation tensors saved.
     """
     import os
 
-    if policy is None and os.environ.get("UNICEPTION_TPU_REMAT_POLICY") == "dots":
+    env_policy = os.environ.get("UNICEPTION_TPU_REMAT_POLICY")
+    if policy is None and env_policy == "dots":
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif policy is None and env_policy == "attn_out":
+        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
     graphdef, state = nnx.split(blk)
 
     def fn(state, *inner):

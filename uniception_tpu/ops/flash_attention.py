@@ -394,6 +394,45 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, 
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _fa_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *, scale, kv_len, precision):
+    """Single-block fused backward: dq + dk + dv in ONE kernel.
+
+    When one (bq, bk) block covers all tokens (the ViT trunk shapes:
+    N=1024 at 512², N=196 at 224²), the separate dq and dkv kernels each
+    recompute S = qk^T and dP = dO v^T — 7 matmul-equivalents total. Fusing
+    shares those recomputes: 5 matmuls (S, dP, dQ, dK, dV), a 2/7 FLOP cut
+    at identical numerics (same trick as the forward's single-k-step
+    scratch-free kernel, BASELINE.md round 1).
+
+    Padded q rows are harmless (do rows are zero → their dv/dk
+    contributions vanish); padded k columns are masked to NEG_INF.
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision) * scale
+    if kv_len % k.shape[0] != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK) fp32
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    ).astype(dv_ref.dtype)  # (BK, D)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision)
+    ds = p * (dp - delta) * scale  # (BQ, BK) fp32
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    ).astype(dq_ref.dtype)  # (BQ, D)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    ).astype(dk_ref.dtype)  # (BK, D)
+
+
 def _flash_attention_bwd_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
     B, Nq, Nk, H, D, scale, bq, bk, nq_pad, nk_pad = _plan(q, k, scale, block_q, block_k)
     precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
@@ -401,6 +440,35 @@ def _flash_attention_bwd_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
     qt, kt, vt = _to_bhnd(q, nq_pad), _to_bhnd(k, nk_pad), _to_bhnd(v, nk_pad)
     dot = _to_bhnd(g, nq_pad)
     outt = _to_bhnd(out, nq_pad)
+
+    single_block = nq_pad == bq and nk_pad == bk
+    # fused VMEM budget: two (bq, bk) fp32 buffers (p and dp/ds) dominate
+    if single_block and 2 * bq * bk * 4 + 5 * max(bq, bk) * D * 4 <= 12 * 1024 * 1024:
+        delta = jnp.sum(dot.astype(jnp.float32) * outt.astype(jnp.float32), axis=-1)
+        delta_b = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
+        lse_pad = lse if lse.shape[-1] == nq_pad else jnp.pad(lse, ((0, 0), (0, 0), (0, nq_pad - lse.shape[-1])))
+        lse_b = jnp.broadcast_to(lse_pad[..., None], lse_pad.shape + (128,))
+
+        q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+        k_spec = pl.BlockSpec((1, 1, bk, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+        stat_spec = pl.BlockSpec((1, 1, bq, 128), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_fa_bwd_fused_kernel, scale=scale, kv_len=Nk, precision=precision),
+            grid=(B, H),
+            in_specs=[q_spec, k_spec, k_spec, q_spec, stat_spec, stat_spec],
+            out_specs=(q_spec, k_spec, k_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, nq_pad, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, nk_pad, D), k.dtype),
+                jax.ShapeDtypeStruct((B, H, nk_pad, D), v.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+            interpret=_interpret(),
+        )(qt, kt, vt, dot, lse_b, delta_b)
+        dq = jnp.transpose(dq[:, :, :Nq], (0, 2, 1, 3))
+        dk = jnp.transpose(dk[:, :, :Nk], (0, 2, 1, 3))
+        dv = jnp.transpose(dv[:, :, :Nk], (0, 2, 1, 3))
+        return dq, dk, dv
 
     # delta = rowsum(dO * O): (B, H, Nq_pad), broadcast over 128 lanes for tiling
     delta = jnp.sum(dot.astype(jnp.float32) * outt.astype(jnp.float32), axis=-1)

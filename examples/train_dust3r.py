@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--remat", action="store_true", help="gradient checkpointing")
     ap.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
     ap.add_argument("--bf16", action="store_true", help="bf16 compute (fp32 params)")
+    ap.add_argument("--mu-bf16", action="store_true", help="bf16 adamw first moment (halves its optimizer HBM traffic)")
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -102,6 +103,7 @@ def main():
         use_tp=args.tp > 1,
         grad_accum=args.grad_accum,
         zero1=args.zero1,
+        mu_dtype=jnp.bfloat16 if args.mu_bf16 else None,
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1}")

@@ -1,0 +1,108 @@
+"""
+Pallas int8 matmul with fused dynamic-quantization epilogue/prologue.
+
+VERDICT round-2 item 7: the per-block closing account (BASELINE.md) left
+~0.10 ms/block of "quant glue" — the XLA w8a8 path runs
+    abs-max -> round/clip -> int8 store -> [HBM] -> int8 GEMM -> dequant
+with the activation quantization fused into the *producer*, so the int8
+activations and their per-token scales make an HBM round trip between the
+quantizer and the GEMM. This kernel fuses the whole chain:
+
+    x bf16 tile (VMEM) -> row abs-max (VPU) -> quantize (VPU)
+      -> int8 x int8 -> int32 on the MXU -> x (a_scale * w_scale) + bias
+      -> bf16 out
+
+so x_q / a_scale never touch HBM. One attempt, measured on-chip
+(scripts/bench_int8_matmul.py); kept only if it beats the XLA lowering at
+trunk shapes — see BASELINE.md for the verdict.
+
+Weights stay resident per grid step: w_q (K, bn) int8 + w_scale tiles.
+Grid is (M tiles, N tiles); K is not tiled (trunk K <= 4096 fits VMEM).
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["int8_matmul_dynamic"]
+
+
+def _interpret():
+    return os.environ.get("UNICEPTION_TPU_PALLAS_INTERPRET") == "1"
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _kernel(x_ref, wq_ref, wscale_ref, *rest, has_bias):
+    bias_ref, out_ref = rest if has_bias else (None, *rest)
+    x = x_ref[...].astype(jnp.float32)  # (bm, K)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-30) / 127.0
+    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, wq_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * (a_scale * wscale_ref[...])
+    if has_bias:
+        y = y + bias_ref[...]
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def int8_matmul_dynamic(x, w_q, w_scale, bias=None, *, block_m: int = 512, block_n: int = 1024, out_dtype=None):
+    """y = dequant(quant_rowwise(x) @ w_q) [+ bias], quant fused in-kernel.
+
+    x: (..., K) bf16/f32; w_q: (K, N) int8; w_scale: (1, N) f32;
+    bias: (N,) f32 or None. Returns (..., N) in ``out_dtype`` (default
+    x.dtype). Matches nn/quant.py Int8Linear.__call__ numerics (same
+    symmetric per-token dynamic scheme).
+    """
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    N = w_q.shape[1]
+    out_dtype = out_dtype or x.dtype
+    M = 1
+    for d in orig_shape[:-1]:
+        M *= d
+    x2 = x.reshape(M, K)
+
+    bm = min(block_m, _round_up(M, 8))
+    bn = min(block_n, _round_up(N, 128))
+    # VMEM guard: the fp32 cast of the x tile dominates at wide K
+    while K * bm * 4 > 6 * 1024 * 1024 and bm > 128:
+        bm = _round_up(bm // 2, 8)
+    m_pad, n_pad = _round_up(M, bm), _round_up(N, bn)
+    if m_pad != M:
+        x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
+    wq_p = w_q if n_pad == N else jnp.pad(w_q, ((0, 0), (0, n_pad - N)))
+    ws_p = w_scale if n_pad == N else jnp.pad(w_scale, ((0, 0), (0, n_pad - N)))
+    b_p = None
+    if bias is not None:
+        b2 = bias.reshape(1, N).astype(jnp.float32)
+        b_p = b2 if n_pad == N else jnp.pad(b2, ((0, 0), (0, n_pad - N)))
+
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x2, wq_p, ws_p.astype(jnp.float32)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM))
+        operands.append(b_p)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, has_bias=bias is not None),
+        grid=(m_pad // bm, n_pad // bn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(*operands)
+    return out[:M, :N].reshape(*orig_shape[:-1], N)

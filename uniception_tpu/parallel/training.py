@@ -68,6 +68,7 @@ def make_train_step(
     use_tp: bool = False,
     grad_accum: int = 1,
     zero1: bool = False,
+    mu_dtype=None,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[TrainContext, Any, Any]:
     """Build a dp(+tp) sharded train step for a DUSt3R-style model.
@@ -80,6 +81,10 @@ def make_train_step(
     zero1: shard the optimizer state over the "data" axis (ZeRO stage 1).
         Optimizer-moment memory drops by the data-axis size; XLA emits the
         slice-update + parameter all-gather from the sharding constraints.
+    mu_dtype: dtype for adamw's first moment (e.g. ``jnp.bfloat16`` —
+        halves its HBM traffic in the bandwidth-bound optimizer, measured
+        ~-3.5% step time at ViT-L 512, BASELINE.md round 3). Ignored when
+        ``tx`` is given.
     """
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
@@ -87,7 +92,7 @@ def make_train_step(
     with mesh:
         params = tp_shard_state(params, mesh) if (use_tp and model_axis > 1) else replicate_state(params, mesh)
         if tx is None:
-            tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+            tx = optax.adamw(learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype)
         if grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
         opt_state = tx.init(params)

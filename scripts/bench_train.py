@@ -77,6 +77,20 @@ def main():
 
         return many
 
+    def run_donated(params, opt_state, args, iters):
+        """BENCH_DONATE=1: the production pattern — one jitted step called
+        per batch with params/opt_state donated, async dispatch, one final
+        fetch. Measures whether the scan-carry layout pays buffer copies
+        the donation path avoids."""
+        step_jit = jax.jit(step, donate_argnums=(0, 1))
+        p, o, loss = step_jit(params, opt_state, *args, jnp.float32(0))
+        loss.block_until_ready()  # warmup + compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, o, loss = step_jit(p, o, *args, jnp.float32(0))
+        loss.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
     rng = np.random.RandomState(0)
     img1 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
     img2 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
@@ -84,6 +98,20 @@ def main():
     tgt2 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
     ts = jnp.broadcast_to(jnp.asarray([IMG, IMG], jnp.int32), (BATCH, 2))
     args = (params, opt_state, img1, img2, ts, tgt1, tgt2)
+
+    if os.environ.get("BENCH_DONATE") == "1":
+        per_step = run_donated(params, opt_state, (img1, img2, ts, tgt1, tgt2), max(ITERS, 10))
+        print(
+            json.dumps(
+                {
+                    "metric": "dust3r_vitl_512_linear_train_pairs_per_sec",
+                    "value": round(BATCH / per_step, 3),
+                    "unit": "pairs/s/chip",
+                }
+            )
+        )
+        print(f"batch={BATCH} per_step={per_step * 1e3:.1f}ms (donated python loop)")
+        return
 
     short, long = make(1), make(1 + ITERS)
     float(short(*args))

@@ -65,3 +65,22 @@ def test_tp_sharded_forward_matches_replicated():
 
         out = f(st, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_tp_rules_shard_int8_scan_layout():
+    "Stacked Int8Linear w_q/w_scale shard their feature axis (depth replicated)."
+    from uniception_tpu.nn.quant import quantize_linears
+
+    mesh = make_mesh(data=4, model=2)
+    stacked = make_stacked_blocks(
+        2, lambda r: SelfAttentionBlock(dim=32, num_heads=4, qkv_bias=True, rngs=r), nnx.Rngs(0)
+    )
+    n = quantize_linears(stacked, min_params=1)
+    assert n > 0
+    st = tp_shard_state(nnx.state(stacked, nnx.Param), mesh)
+    # (depth, in, out) int8 kernels: depth axis None, feature axis sharded
+    assert _spec(st["attn"]["qkv"]["w_q"]) == P(None, None, "model")
+    assert _spec(st["attn"]["qkv"]["w_scale"]) == P(None, None, "model")  # (depth, 1, out)
+    assert _spec(st["attn"]["proj"]["w_q"]) == P(None, "model", None)  # row-parallel
+    assert _spec(st["mlp"]["fc1"]["w_q"]) == P(None, None, "model")
+    assert _spec(st["mlp"]["fc2"]["w_q"]) == P(None, "model", None)

@@ -10,7 +10,11 @@ pure bf16). Iterations are chained inside a single jit'd lax.scan
 (data-dependent carry) so the measurement reflects pure device time — the
 axon host<->TPU tunnel adds ~100ms per fetch, which a naive per-call
 timing loop would mis-attribute. int8 parity bounds vs fp32 are measured
-by scripts/check_quant_parity.py and recorded in BASELINE.md.
+by scripts/check_quant_parity.py and recorded in BASELINE.md; at the
+headline ViT-L 512 shape the int8 path measures ~2-3% relative output
+error (trunk features 2.2%), which is OUTSIDE the reference's golden gate
+(abs<1e-2 / rel<1e-3) — int8 is the serving configuration; bf16
+(BENCH_QUANT=none, 58.5 pairs/s) is the parity configuration.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
 is an analytic estimate of the reference's throughput on its target GPU

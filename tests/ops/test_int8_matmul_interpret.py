@@ -33,3 +33,24 @@ def test_int8_matmul_matches_int8_linear(m, k, n, bias):
     )
     assert out.shape == ref.shape and out.dtype == ref.dtype
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_linear_routes_wide_k_through_pallas(monkeypatch):
+    """Int8Linear auto-routes K>=4096 through the Pallas fused kernel
+    (interpret mode here); numerics must match the XLA path exactly
+    (identical quantization decisions)."""
+    from uniception_tpu.nn.common import LinearX
+    from uniception_tpu.nn.quant import Int8Linear, _use_pallas_int8
+
+    lin = LinearX(4096, 64, rngs=nnx.Rngs(0))
+    qlin = Int8Linear.from_linear(lin)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 8, 4096).astype(np.float32))
+
+    assert _use_pallas_int8(4096)  # interpret env counts as capable
+    out_pallas = qlin(x)
+
+    monkeypatch.setenv("UNICEPTION_TPU_INT8_MATMUL", "xla")
+    assert not _use_pallas_int8(4096)
+    out_xla = qlin(x)
+
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla), rtol=1e-5, atol=1e-5)

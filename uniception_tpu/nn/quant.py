@@ -21,6 +21,7 @@ reference's own golden thresholds (abs < 1e-2, rel < 1e-3 — see
 /root/reference/examples/models/dust3r/dust3r.py:223-230).
 """
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -28,6 +29,20 @@ import jax.numpy as jnp
 from flax import nnx
 
 __all__ = ["Int8Linear", "quantize_linears", "quantize_int8"]
+
+
+def _use_pallas_int8(in_features: int) -> bool:
+    "Shape-gated Pallas int8-matmul routing (see Int8Linear.__call__)."
+    mode = os.environ.get("UNICEPTION_TPU_INT8_MATMUL", "auto")
+    if mode == "xla":
+        return False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not (on_tpu or os.environ.get("UNICEPTION_TPU_PALLAS_INTERPRET") == "1"):
+        return False
+    return mode == "pallas" or in_features >= 4096
 
 
 def quantize_int8(w: jnp.ndarray, axis: int = 0):
@@ -81,6 +96,21 @@ class Int8Linear(nnx.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
+        if self.a_scale is None and _use_pallas_int8(self.in_features):
+            # wide-K shapes (fc2-like, K>=4096): the Pallas kernel with the
+            # dynamic quant fused in-kernel measures 31% faster than the
+            # XLA lowering (456 vs 312 TOP/s, scripts/bench_int8_matmul.py,
+            # BASELINE.md round 3); narrow-K shapes stay on XLA (it wins
+            # there). UNICEPTION_TPU_INT8_MATMUL=xla|pallas|auto overrides.
+            from uniception_tpu.ops.int8_matmul import int8_matmul_dynamic
+
+            return int8_matmul_dynamic(
+                x,
+                self.w_q[...],
+                self.w_scale[...].astype(jnp.float32),
+                self.bias[...] if self.bias is not None else None,
+                out_dtype=orig_dtype,
+            )
         xf = x.astype(jnp.float32)
         if self.a_scale is not None:
             a_scale = self.a_scale[...]  # () static, frozen at calibration

@@ -49,6 +49,14 @@ def make_infer_fn(
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, state = nnx.split(model)
 
+    if use_tp and model_axis > 1:
+        # pallas_call does not SPMD-partition: with w_q sharded over the
+        # model axis the shape-gated Pallas int8 matmul (nn/quant.py) must
+        # stay on the XLA lowering, which GSPMD partitions correctly
+        import os
+
+        os.environ.setdefault("UNICEPTION_TPU_INT8_MATMUL", "xla")
+
     with mesh:
         state = tp_shard_state(state, mesh) if (use_tp and model_axis > 1) else replicate_state(state, mesh)
 

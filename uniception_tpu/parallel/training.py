@@ -10,6 +10,7 @@ DUSt3R confidence-weighted regression loss.
 Checkpoint save/restore uses Orbax over the nnx state pytree.
 """
 
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -69,6 +70,7 @@ def make_train_step(
     grad_accum: int = 1,
     zero1: bool = False,
     mu_dtype=None,
+    donate: bool = True,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[TrainContext, Any, Any]:
     """Build a dp(+tp) sharded train step for a DUSt3R-style model.
@@ -85,6 +87,12 @@ def make_train_step(
         halves its HBM traffic in the bandwidth-bound optimizer, measured
         ~-3.5% step time at ViT-L 512, BASELINE.md round 3). Ignored when
         ``tx`` is given.
+    donate: donate the params/opt_state buffers to the jitted step (the
+        caller must rebind them from the return value — every in-repo
+        caller does). In-place aliasing removes the update's double
+        buffering: measured 148.6 -> 126.3 ms/step at ViT-L 512 b2
+        (BASELINE.md round 3). Set False only if you must reuse the input
+        pytrees after a step.
     """
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
@@ -118,7 +126,7 @@ def make_train_step(
         m = nnx.merge(graphdef, params, rest)
         return loss_fn(m, img1, img2, target1, target2)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, img1, img2, target1, target2):
         loss, grads = jax.value_and_grad(compute_loss)(params, img1, img2, target1, target2)
         updates, opt_state = tx.update(grads, opt_state, params)

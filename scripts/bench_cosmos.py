@@ -72,8 +72,10 @@ def bench_video(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--img", type=int, default=512)
+    # image mode defaults: batch 4 @ 512²; video mode: batch 1 @ 256² x 17.
+    # None-defaults resolved per mode so an explicit --img 512 --video works.
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--img", type=int, default=None)
     ap.add_argument("--patch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--video", action="store_true", help="bench the causal-3D CV tokenizer")
@@ -83,11 +85,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if args.img is None:
+        args.img = 256 if args.video else 512
+    if args.batch is None:
+        args.batch = 1 if args.video else 4
+
     if args.video:
-        if args.img == 512:
-            args.img = 256  # video default: 256² x 17 frames, batch 1
-        if args.batch == 4:
-            args.batch = 1
         bench_video(args)
         return
     from flax import nnx

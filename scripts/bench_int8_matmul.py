@@ -18,6 +18,11 @@ import numpy as np
 
 
 def main():
+    # Pin the Int8Linear call to the XLA lowering: since the shape-gated
+    # auto-routing landed (nn/quant.py), qlin(x) at K>=4096 would otherwise
+    # route into the very Pallas kernel this script benchmarks it against.
+    os.environ["UNICEPTION_TPU_INT8_MATMUL"] = "xla"
+
     import jax.numpy as jnp
     from flax import nnx
 

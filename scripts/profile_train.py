@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--head", default="linear", choices=["linear", "dpt"])
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--scan", type=int, default=0)  # loop layout is the training config (BASELINE.md)
-    ap.add_argument("--remat", default="0")  # 0 | 1 (full) | dots | names:attn_out,...
+    ap.add_argument("--remat", default="0", choices=["0", "1", "dots", "attn_out"])
     ap.add_argument("--skip-kernels", action="store_true")
     ap.add_argument("--skip-stages", action="store_true")
     args = ap.parse_args()
@@ -111,7 +111,9 @@ def main():
 
     def fwd_bwd(params, opt_state, c):
         loss, grads = jax.value_and_grad(loss_of)(params, img1 + c_(c, img1), img2)
-        return loss + 0.0 * consume(grads)
+        # 1e-30, not 0.0: XLA's algebraic simplifier folds x*0 and would
+        # dead-code the whole backward (the carry*0 hazard in CLAUDE.md)
+        return loss + consume(grads) * 1e-30
 
     def full_step(params, opt_state, c):
         loss, grads = jax.value_and_grad(loss_of)(params, img1 + c_(c, img1), img2)
@@ -120,14 +122,16 @@ def main():
         # consume the whole new opt_state so the moment updates can't be
         # elided (adds a read of the moments the real step also performs as
         # its next-iteration input)
-        return loss + 0.0 * consume(new_params) + 0.0 * consume(opt_state2)
+        return loss + consume(new_params) * 1e-30 + consume(opt_state2) * 1e-30
 
     # optimizer alone: run update+apply on synthetic grads (params * eps)
     def opt_only(params, opt_state, c):
         grads = jax.tree.map(lambda p: p * (1e-12 + c_(c, p)), params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return consume(new_params) * 1e-30 + consume(jax.tree.leaves(opt_state2)[0]) * 1e-30
+        # consume the full opt_state (mu/nu moments, the dominant HBM
+        # write of the bandwidth-bound update), not just the count leaf
+        return consume(new_params) * 1e-30 + consume(opt_state2) * 1e-30
 
     stages = {
         "loss forward": fwd_only,

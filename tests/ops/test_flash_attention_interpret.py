@@ -71,7 +71,10 @@ def test_plan_shrink_keeps_sublane_alignment():
         assert ws <= 8 * 1024 * 1024 or (bq <= 128 and bk <= 128), (nq, d, bq, bk, ws)
 
 
-@pytest.mark.parametrize("n", [32, 40])  # single-block fused bwd; 40 exercises the k-col mask
+# 36 pads to a 40-wide block (round_up(36, 8)), so the padded q-row and
+# k-column mask branches actually run; 40 is 8-aligned and would leave the
+# NEG_INF masking dead in both cases.
+@pytest.mark.parametrize("n", [32, 36])
 def test_interpret_backward_fused_single_block(n):
     """Single-block shapes route through the fused dq+dk+dv kernel (5
     matmuls instead of 7); grads must match the XLA reference exactly as

@@ -114,6 +114,14 @@ def remat_call(blk: nnx.Module, *args, policy=None):
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     elif policy is None and env_policy == "attn_out":
         policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+    elif policy is None and env_policy:
+        import warnings
+
+        warnings.warn(
+            f"UNICEPTION_TPU_REMAT_POLICY={env_policy!r} is not one of"
+            " ('dots', 'attn_out'); falling back to full rematerialization.",
+            stacklevel=2,
+        )
     graphdef, state = nnx.split(blk)
 
     def fn(state, *inner):

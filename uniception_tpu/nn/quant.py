@@ -28,13 +28,27 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-__all__ = ["Int8Linear", "quantize_linears", "quantize_int8"]
+__all__ = ["Int8Linear", "quantize_linears", "quantize_int8", "force_xla_int8"]
+
+# Process-wide correctness override: pallas_call does not SPMD-partition,
+# so sharded inference (dp or tp meshes, parallel/inference.py) must pin
+# Int8Linear to the XLA lowering, which GSPMD partitions. Wins over the
+# env var — including an explicit "pallas" — because routing a sharded
+# operand into the Pallas kernel is wrong (replicates/all-gathers), not
+# just slow.
+_FORCE_XLA = False
+
+
+def force_xla_int8(on: bool = True) -> None:
+    "Pin every Int8Linear in this process to the XLA int8 matmul lowering."
+    global _FORCE_XLA
+    _FORCE_XLA = on
 
 
 def _use_pallas_int8(in_features: int) -> bool:
     "Shape-gated Pallas int8-matmul routing (see Int8Linear.__call__)."
     mode = os.environ.get("UNICEPTION_TPU_INT8_MATMUL", "auto")
-    if mode == "xla":
+    if _FORCE_XLA or mode == "xla":
         return False
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
@@ -107,7 +121,7 @@ class Int8Linear(nnx.Module):
             return int8_matmul_dynamic(
                 x,
                 self.w_q[...],
-                self.w_scale[...].astype(jnp.float32),
+                self.w_scale[...],  # the op casts scales to f32 itself
                 self.bias[...] if self.bias is not None else None,
                 out_dtype=orig_dtype,
             )

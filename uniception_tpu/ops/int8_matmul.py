@@ -21,22 +21,15 @@ Grid is (M tiles, N tiles); K is not tiled (trunk K <= 4096 fits VMEM).
 """
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from uniception_tpu.ops.flash_attention import _interpret, _round_up
+
 __all__ = ["int8_matmul_dynamic"]
-
-
-def _interpret():
-    return os.environ.get("UNICEPTION_TPU_PALLAS_INTERPRET") == "1"
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def _kernel(x_ref, wq_ref, wscale_ref, *rest, has_bias):

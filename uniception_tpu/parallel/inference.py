@@ -49,13 +49,15 @@ def make_infer_fn(
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, state = nnx.split(model)
 
-    if use_tp and model_axis > 1:
-        # pallas_call does not SPMD-partition: with w_q sharded over the
-        # model axis the shape-gated Pallas int8 matmul (nn/quant.py) must
-        # stay on the XLA lowering, which GSPMD partitions correctly
-        import os
+    if mesh.devices.size > 1:
+        # pallas_call does not SPMD-partition: on any multi-device mesh
+        # (w_q sharded over "model" under TP, or batch-sharded activations
+        # under plain DP) the shape-gated Pallas int8 matmul (nn/quant.py)
+        # must stay on the XLA lowering, which GSPMD partitions correctly.
+        # force_xla_int8 wins over UNICEPTION_TPU_INT8_MATMUL=pallas/auto.
+        from uniception_tpu.nn.quant import force_xla_int8
 
-        os.environ.setdefault("UNICEPTION_TPU_INT8_MATMUL", "xla")
+        force_xla_int8(True)
 
     with mesh:
         state = tp_shard_state(state, mesh) if (use_tp and model_axis > 1) else replicate_state(state, mesh)

@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--enc-depth", type=int, default=24)
     p.add_argument("--enc-dim", type=int, default=1024)
     p.add_argument("--enc-heads", type=int, default=16)
+    p.add_argument("--dec-depth", type=int, default=12)
+    p.add_argument("--dec-dim", type=int, default=768)
+    p.add_argument("--dec-heads", type=int, default=12)
     p.add_argument("--int8", action="store_true", help="w8a8-quantize the trunk linears (production serving config)")
     p.add_argument("--no-scan", action="store_true", help="use the loop layout instead of scan-over-stacked-blocks")
     return p.parse_args()
@@ -78,28 +81,82 @@ def main():
     from uniception_tpu.models.utils.config import fast_init, set_attention_impl
 
     set_attention_impl("pallas")
-    # fast_init skips the eager PRNG param init (~8x faster cold-start
-    # construction) — safe here only when a checkpoint overwrites the
-    # zeros; random-weight demo mode keeps the real init
-    with fast_init(args.checkpoint is not None):
-        model = DUSt3R(
+
+    def ctor():
+        return DUSt3R(
             name="dust3r_serve",
             img_size=(args.img_size, args.img_size),
             patch_embed_cls="ManyAR_PatchEmbed",
             pred_head_type=args.head,
-            pretrained_checkpoint_path=args.checkpoint,
             enc_embed_dim=args.enc_dim,
             enc_depth=args.enc_depth,
             enc_num_heads=args.enc_heads,
+            info_sharing_dim=args.dec_dim,
+            info_sharing_depth=args.dec_depth,
+            info_sharing_num_heads=args.dec_heads,
             # scan layout: 6x faster compiles and the fastest measured serving
             # configuration (BASELINE.md); --no-scan restores the loop layout
             scan_blocks=not args.no_scan,
             dtype=jnp.bfloat16,
             rngs=nnx.Rngs(0),
         )
-    graphdef, state = nnx.split(model)
-    state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
-    if args.int8:
+
+    if args.checkpoint is not None:
+        # Cold-start path (utils/coldstart.py): abstract construction (no
+        # initializer dispatch at all), then ONE batched transfer + on-device
+        # bf16 cast. Native serving checkpoints (convert_checkpoints.py
+        # --serving) additionally skip all host-side layout transforms.
+        # Measured vs the eager construct-then-load path on the tunnel
+        # backend: see BASELINE.md serving cold-start table.
+        from uniception_tpu.utils.coldstart import (
+            abstract_construct,
+            is_native_state,
+            load_native_state,
+            materialize,
+        )
+
+        pre_quantized = False
+        if is_native_state(args.checkpoint):
+            arrays, ckpt_meta = load_native_state(args.checkpoint)
+            pre_quantized = ckpt_meta.get("quant") is not None
+            if pre_quantized:
+                # offline-quantized serving checkpoint (convert_checkpoints.py
+                # --serving --int8): construct the Int8Linear module tree
+                # abstractly (quantize math traces inside eval_shape, nothing
+                # executes) and fill it straight from the int8 arrays
+                from uniception_tpu.nn.quant import quantize_linears
+
+                def ctor_q():
+                    m = ctor()
+                    quantize_linears(m.encoder)
+                    quantize_linears(m.info_sharing)
+                    return m
+
+                model = abstract_construct(ctor_q)
+                if not args.int8:
+                    print(f"checkpoint is {ckpt_meta['quant']}-quantized; serving int8")
+            else:
+                model = abstract_construct(ctor)
+            model = materialize(model, arrays=arrays, param_dtype=jnp.bfloat16)
+        else:
+            model = abstract_construct(ctor)
+            from uniception_tpu.utils.checkpoint import load_checkpoint
+            from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+            ckpt = load_checkpoint(args.checkpoint)
+            load_torch_state_dict(
+                model, ckpt["model"], ignore=model.checkpoint_alias_patterns(), to_device=False
+            )
+            model = materialize(model, param_dtype=jnp.bfloat16)
+        graphdef, state = nnx.split(model)
+    else:
+        # random-weight demo mode keeps the real eager init
+        pre_quantized = False
+        with fast_init(False):
+            model = ctor()
+        graphdef, state = nnx.split(model)
+        state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+    if args.int8 and not pre_quantized:
         from uniception_tpu.nn.quant import quantize_linears
 
         model = nnx.merge(graphdef, state)

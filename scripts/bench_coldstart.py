@@ -1,0 +1,135 @@
+"""
+Serving cold-start benchmark: time-to-weights-on-device for DUSt3R ViT-L.
+
+The reference's load path (torch.load + load_state_dict after an eager
+module construction — reference: uniception/models/encoders/croco.py:99-111)
+maps on a TPU host to: eager construct (one dispatch per initializer op)
++ per-leaf host->device transfers. Through this environment's remote
+tunnel both are latency-bound. `uniception_tpu/utils/coldstart.py`
+replaces them with abstract (eval_shape) construction + ONE batched
+device_put. This script measures each stage in isolation; each mode is
+meant to run in its OWN process (backend init is warmed up and excluded).
+
+Usage:
+    # one-time: write serving checkpoints (random weights, CPU backend ok)
+    JAX_PLATFORM_NAME=cpu python scripts/bench_coldstart.py --make /tmp/cold
+
+    # then, one fresh process per mode (TPU):
+    python scripts/bench_coldstart.py --mode eager
+    python scripts/bench_coldstart.py --mode native --ckpt /tmp/cold/serve_bf16.nsv
+    python scripts/bench_coldstart.py --mode native --ckpt /tmp/cold/serve_bf16.npz
+    python scripts/bench_coldstart.py --mode torch  --ckpt /tmp/cold/torch.npz
+
+Modes:
+    eager   fast_init eager construct + on-host bf16 cast (round-3 #6 baseline)
+    native  abstract_construct + load_native_state + materialize(bf16)
+    torch   abstract_construct + load_checkpoint + load_torch_state_dict(
+            to_device=False) + materialize(bf16)  (torch-layout interchange)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CFG = dict(
+    name="dust3r_serve",
+    img_size=(512, 512),
+    patch_embed_cls="ManyAR_PatchEmbed",
+    pred_head_type="linear",
+    enc_embed_dim=1024,
+    enc_depth=24,
+    enc_num_heads=16,
+    scan_blocks=True,
+)
+
+
+def build(rngs, dtype):
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+
+    return DUSt3R(dtype=dtype, rngs=rngs, **CFG)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--make", default=None, help="write serving+torch checkpoints into this dir and exit")
+    p.add_argument("--mode", choices=["eager", "native", "torch"], default="eager")
+    p.add_argument("--ckpt", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    # warm up backend init / tunnel handshake — excluded from timings
+    jax.block_until_ready(jnp.zeros(()) + 1)
+
+    if args.make:
+        os.makedirs(args.make, exist_ok=True)
+        from uniception_tpu.models.utils.config import fast_init
+        from uniception_tpu.utils.checkpoint import save_checkpoint
+        from uniception_tpu.utils.coldstart import save_native_state
+        from uniception_tpu.utils.torch_compat import state_dict_from_module
+
+        with fast_init(False):
+            model = build(nnx.Rngs(0), jnp.bfloat16)
+        save_native_state(os.path.join(args.make, "serve_bf16.nsv"), model, dtype=jnp.bfloat16)
+        save_native_state(os.path.join(args.make, "serve_bf16.npz"), model, dtype=jnp.bfloat16)
+        save_checkpoint(os.path.join(args.make, "torch.npz"), state_dict_from_module(model))
+        print(f"wrote {args.make}/serve_bf16.{{nsv,npz}} and {args.make}/torch.npz")
+        return
+
+    t0 = time.perf_counter()
+    if args.mode == "eager":
+        from uniception_tpu.models.utils.config import fast_init
+
+        with fast_init(True):
+            model = build(nnx.Rngs(0), jnp.bfloat16)
+        _, state = nnx.split(model)
+        state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+        jax.block_until_ready(jax.tree.leaves(state))
+    else:
+        from uniception_tpu.utils.coldstart import abstract_construct, load_native_state, materialize
+
+        if args.mode == "native":
+            arrays, ckpt_meta = load_native_state(args.ckpt)
+            t_load = time.perf_counter() - t0  # nsv: ~0, bytes stream during transfer
+
+            def thunk():
+                m = build(nnx.Rngs(0), jnp.bfloat16)
+                if ckpt_meta.get("quant"):  # offline-int8 serving checkpoint
+                    from uniception_tpu.nn.quant import quantize_linears
+
+                    quantize_linears(m.encoder)
+                    quantize_linears(m.info_sharing)
+                return m
+
+            model = abstract_construct(thunk)
+            t_construct = time.perf_counter() - t0 - t_load
+            model = materialize(model, arrays=arrays, param_dtype=jnp.bfloat16)
+        else:
+            from uniception_tpu.utils.checkpoint import load_checkpoint
+            from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+            model = abstract_construct(lambda: build(nnx.Rngs(0), jnp.bfloat16))
+            t_construct = time.perf_counter() - t0
+            ckpt = load_checkpoint(args.ckpt)
+            t_load = time.perf_counter() - t0 - t_construct
+            load_torch_state_dict(
+                model, ckpt["model"], ignore=model.checkpoint_alias_patterns(), to_device=False, verbose=False
+            )
+            model = materialize(model, param_dtype=jnp.bfloat16)
+        _, state = nnx.split(model)
+        jax.block_until_ready(jax.tree.leaves(state))
+        print(f"  construct(abstract): {t_construct:.2f}s  read-ckpt: {t_load:.2f}s")
+    dt = time.perf_counter() - t0
+    n = sum(
+        x.size for x in jax.tree.leaves(nnx.split(model)[1]) if hasattr(x, "size")
+    )
+    print(f"mode={args.mode}: {dt:.2f}s to weights-on-device ({n/1e6:.0f}M params, backend={jax.default_backend()})")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,37 @@ def main():
     parser.add_argument("input", help="torch checkpoint (.pth)")
     parser.add_argument("output", help="output .npz path")
     parser.add_argument("--dust3r", action="store_true", help="apply vanilla-DUSt3R key remapping")
+    parser.add_argument(
+        "--serving",
+        action="store_true",
+        help="emit a native-layout DUSt3R serving checkpoint (utils/coldstart.py: "
+        "kernels pre-transposed, scan-stacked, zero host transforms at load — "
+        "pays the ~1 min host transpose/stack cost once here instead of per cold "
+        "start). Name the output .nsv for the packed mmap-zero-copy container "
+        "(fastest load); .npz keeps the numpy-interchange zip container",
+    )
+    parser.add_argument("--img-size", type=int, default=512, help="(--serving) model image size")
+    parser.add_argument("--head", default="linear", choices=["linear", "dpt"], help="(--serving) head type")
+    parser.add_argument("--enc-dim", type=int, default=1024, help="(--serving) encoder width")
+    parser.add_argument("--enc-depth", type=int, default=24, help="(--serving) encoder depth")
+    parser.add_argument("--enc-heads", type=int, default=16, help="(--serving) encoder heads")
+    parser.add_argument("--dec-dim", type=int, default=768, help="(--serving) info-sharing width")
+    parser.add_argument("--dec-depth", type=int, default=12, help="(--serving) info-sharing depth")
+    parser.add_argument("--dec-heads", type=int, default=12, help="(--serving) info-sharing heads")
+    parser.add_argument("--no-scan", action="store_true", help="(--serving) loop layout instead of scan")
+    parser.add_argument(
+        "--f32",
+        action="store_true",
+        help="(--serving) keep f32 params (default pre-casts to bf16 — the serving "
+        "dtype — which also halves checkpoint read bytes)",
+    )
+    parser.add_argument(
+        "--int8",
+        action="store_true",
+        help="(--serving) w8a8-quantize the trunk linears OFFLINE (nn/quant.py) so "
+        "serving cold-start skips the quantization pass and reads int8 weights "
+        "(~2x fewer trunk bytes than bf16); scales stay f32",
+    )
     args = parser.parse_args()
 
     ckpt = load_checkpoint(args.input)
@@ -90,6 +121,58 @@ def main():
     if args.dust3r:
         model = remap_vanilla_dust3r(model)
     meta = {k: v for k, v in ckpt.items() if isinstance(v, (str, int, float, bool))}
+
+    if args.serving:
+        # the converter is a host-side tool: pin jax to CPU so the int8
+        # quantization math and the materialize pass never dispatch through
+        # a TPU tunnel (and never touch a TPU someone else is using)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+        import jax.numpy as jnp
+
+        jax.config.update("jax_platforms", "cpu")
+        from flax import nnx
+
+        from uniception_tpu.models.factory.dust3r import DUSt3R
+        from uniception_tpu.utils.coldstart import abstract_construct, materialize, save_native_state
+        from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+        m = abstract_construct(
+            lambda: DUSt3R(
+                name="dust3r_serve",
+                img_size=(args.img_size, args.img_size),
+                patch_embed_cls="ManyAR_PatchEmbed",
+                pred_head_type=args.head,
+                enc_embed_dim=args.enc_dim,
+                enc_depth=args.enc_depth,
+                enc_num_heads=args.enc_heads,
+                info_sharing_dim=args.dec_dim,
+                info_sharing_depth=args.dec_depth,
+                info_sharing_num_heads=args.dec_heads,
+                scan_blocks=not args.no_scan,
+                dtype=jnp.bfloat16,
+                rngs=nnx.Rngs(0),
+            )
+        )
+        load_torch_state_dict(m, model, ignore=m.checkpoint_alias_patterns(), to_device=False)
+        save_dtype = None if args.f32 else jnp.bfloat16
+        if args.int8:
+            from uniception_tpu.nn.quant import quantize_linears
+
+            # mirror the online serving order exactly (examples/serve_dust3r.py):
+            # cast params to the serving dtype FIRST, then quantize — so the
+            # offline w_q/w_scale are bit-identical to what quantize_linears
+            # would produce at serve time, with scales in f32
+            m = materialize(m, param_dtype=save_dtype)
+            n_q = quantize_linears(m.encoder) + quantize_linears(m.info_sharing)
+            meta = {**meta, "quant": "int8-w8a8-dynamic", "quant_layers": n_q}
+            save_dtype = None  # per-leaf dtypes are already the serving dtypes
+        save_native_state(args.output, m, dtype=save_dtype, **meta)
+        kind = "int8" if args.int8 else ("f32" if args.f32 else "bf16")
+        print(f"Wrote native serving checkpoint {args.output} ({kind})")
+        return
+
     save_checkpoint(args.output, model, **meta)
     print(f"Wrote {args.output} with {len(model)} tensors, metadata={meta}")
 

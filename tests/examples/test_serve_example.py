@@ -1,0 +1,239 @@
+"""
+examples/serve_dust3r.py must run end-to-end from BOTH checkpoint formats:
+the torch-layout interchange .npz (load_torch_state_dict path) and the
+native serving checkpoint written by scripts/convert_checkpoints.py
+--serving (coldstart abstract-construct + materialize path), at a tiny
+config, producing identical throughput-loop output lines.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from flax import nnx
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY = dict(img_size=64, enc_dim=96, enc_depth=2, enc_heads=4, dec_dim=64, dec_depth=2, dec_heads=4)
+
+
+def _flags(d):
+    return [f"--{k.replace('_', '-')}={v}" for k, v in d.items()]
+
+
+def _run(script, *argv, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split() if "device_count" not in f
+    )
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, *script), *argv],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_ckpt(tmp_path_factory):
+    "Tiny torch-layout interchange checkpoint with random (eager-init) weights."
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.utils.checkpoint import save_checkpoint
+    from uniception_tpu.utils.torch_compat import state_dict_from_module
+
+    model = DUSt3R(
+        name="dust3r_serve",
+        img_size=(TINY["img_size"],) * 2,
+        patch_embed_cls="ManyAR_PatchEmbed",
+        enc_embed_dim=TINY["enc_dim"],
+        enc_depth=TINY["enc_depth"],
+        enc_num_heads=TINY["enc_heads"],
+        info_sharing_dim=TINY["dec_dim"],
+        info_sharing_depth=TINY["dec_depth"],
+        info_sharing_num_heads=TINY["dec_heads"],
+        scan_blocks=True,
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(0),
+    )
+    path = str(tmp_path_factory.mktemp("serve") / "torch.npz")
+    save_checkpoint(path, state_dict_from_module(model))
+    return path
+
+
+def test_serve_from_torch_layout_checkpoint(torch_ckpt):
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--checkpoint", torch_ckpt, "--pairs", "2", "--batch", "1", *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pairs/s" in out.stdout, out.stdout
+
+
+def test_convert_serving_then_serve(torch_ckpt, tmp_path):
+    "converter --serving -> native ckpt -> serve cold-start path."
+    native = str(tmp_path / "serve_native.npz")
+    out = _run(
+        ("scripts", "convert_checkpoints.py"),
+        torch_ckpt, native, "--serving", *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "native serving checkpoint" in out.stdout, out.stdout
+
+    from uniception_tpu.utils.coldstart import is_native_state
+
+    assert is_native_state(native)
+    # bf16 pre-cast halves the payload vs the f32 interchange file
+    assert os.path.getsize(native) < 0.75 * os.path.getsize(torch_ckpt)
+
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--checkpoint", native, "--pairs", "2", "--batch", "1", *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pairs/s" in out.stdout, out.stdout
+
+
+def _build(cfg, **over):
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+
+    return DUSt3R(
+        name="dust3r_serve",
+        img_size=(cfg["img_size"],) * 2,
+        patch_embed_cls="ManyAR_PatchEmbed",
+        enc_embed_dim=cfg["enc_dim"],
+        enc_depth=cfg["enc_depth"],
+        enc_num_heads=cfg["enc_heads"],
+        info_sharing_dim=cfg["dec_dim"],
+        info_sharing_depth=cfg["dec_depth"],
+        info_sharing_num_heads=cfg["dec_heads"],
+        scan_blocks=True,
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(0),
+        **over,
+    )
+
+
+def test_convert_serving_int8_offline_matches_online(tmp_path):
+    """--serving --int8 writes offline-quantized weights that serve
+    bit-identically to online quantize_linears at serve time, in the
+    packed .nsv container."""
+    from uniception_tpu.nn.quant import quantize_linears
+    from uniception_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from uniception_tpu.utils.coldstart import (
+        abstract_construct,
+        is_native_state,
+        load_native_state,
+        materialize,
+    )
+    from uniception_tpu.utils.torch_compat import load_torch_state_dict, state_dict_from_module
+
+    # wide enough that quantize_linears' min_params threshold (1<<16)
+    # actually converts the encoder projections
+    cfg = dict(img_size=64, enc_dim=256, enc_depth=2, enc_heads=4, dec_dim=64, dec_depth=2, dec_heads=4)
+    src = str(tmp_path / "torch.npz")
+    save_checkpoint(src, state_dict_from_module(_build(cfg)))
+
+    native = str(tmp_path / "serve_int8.nsv")
+    out = _run(
+        ("scripts", "convert_checkpoints.py"),
+        src, native, "--serving", "--int8", *_flags(cfg),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "int8" in out.stdout, out.stdout
+    assert is_native_state(native)
+
+    # online path: torch-layout load -> bf16 cast -> quantize at serve time
+    m_on = abstract_construct(lambda: _build(cfg))
+    ckpt = load_checkpoint(src)
+    load_torch_state_dict(m_on, ckpt["model"], ignore=m_on.checkpoint_alias_patterns(), to_device=False, verbose=False)
+    m_on = materialize(m_on, param_dtype=jnp.bfloat16)
+    n_q = quantize_linears(m_on.encoder) + quantize_linears(m_on.info_sharing)
+    assert n_q > 0
+
+    # offline path: abstract Int8Linear tree filled from the int8 checkpoint
+    def ctor_q():
+        m = _build(cfg)
+        quantize_linears(m.encoder)
+        quantize_linears(m.info_sharing)
+        return m
+
+    m_off = abstract_construct(ctor_q)
+    arrays, meta = load_native_state(native)
+    assert meta["quant"] == "int8-w8a8-dynamic" and meta["quant_layers"] == n_q
+    m_off = materialize(m_off, arrays=arrays, param_dtype=jnp.bfloat16)
+
+    # int8 leaves present and scales stayed f32
+    _, st = nnx.split(m_off)
+    dtypes = {str(getattr(leaf, "dtype", None)) for leaf in jax.tree.leaves(st)}
+    assert "int8" in dtypes
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    r_on, _ = m_on.forward_pair(img1, img2)
+    r_off, _ = m_off.forward_pair(img1, img2)
+    np.testing.assert_array_equal(np.asarray(r_on["pts3d"]), np.asarray(r_off["pts3d"]))
+
+    # and the serve example consumes it end-to-end
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--checkpoint", native, "--pairs", "2", "--batch", "1", *_flags(cfg),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "serving int8" in out.stdout and "pairs/s" in out.stdout, out.stdout
+
+
+def test_serve_outputs_match_across_formats(torch_ckpt, tmp_path):
+    "Both load paths must produce the same weights: compare forward outputs."
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.utils.checkpoint import load_checkpoint
+    from uniception_tpu.utils.coldstart import (
+        abstract_construct,
+        load_native_state,
+        materialize,
+    )
+    from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+    native = str(tmp_path / "serve_native.npz")
+    out = _run(
+        ("scripts", "convert_checkpoints.py"),
+        torch_ckpt, native, "--serving", *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    def ctor():
+        return DUSt3R(
+            name="dust3r_serve",
+            img_size=(TINY["img_size"],) * 2,
+            patch_embed_cls="ManyAR_PatchEmbed",
+            enc_embed_dim=TINY["enc_dim"],
+            enc_depth=TINY["enc_depth"],
+            enc_num_heads=TINY["enc_heads"],
+            info_sharing_dim=TINY["dec_dim"],
+            info_sharing_depth=TINY["dec_depth"],
+            info_sharing_num_heads=TINY["dec_heads"],
+            scan_blocks=True,
+            dtype=jnp.bfloat16,
+            rngs=nnx.Rngs(0),
+        )
+
+    m_t = abstract_construct(ctor)
+    ckpt = load_checkpoint(torch_ckpt)
+    load_torch_state_dict(m_t, ckpt["model"], ignore=m_t.checkpoint_alias_patterns(), to_device=False)
+    m_t = materialize(m_t, param_dtype=jnp.bfloat16)
+
+    m_n = abstract_construct(ctor)
+    arrays, _ = load_native_state(native)
+    m_n = materialize(m_n, arrays=arrays, param_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    r_t, _ = m_t.forward_pair(img1, img2)
+    r_n, _ = m_n.forward_pair(img1, img2)
+    np.testing.assert_array_equal(np.asarray(r_t["pts3d"]), np.asarray(r_n["pts3d"]))

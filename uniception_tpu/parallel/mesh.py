@@ -20,7 +20,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicate_state", "tp_shard_state", "shard_batch", "zero1_shard_state", "TP_RULES"]
+__all__ = [
+    "make_mesh",
+    "replicate_state",
+    "tp_shard_state",
+    "leaf_tp_spec",
+    "shard_batch",
+    "zero1_shard_state",
+    "TP_RULES",
+]
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
@@ -83,6 +91,29 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
+def leaf_tp_spec(path: str, leaf, mesh: Mesh, rules=None) -> P:
+    """The PartitionSpec ``tp_shard_state`` would give one leaf.
+
+    path: dotted state path (a trailing '.value' from flax VariableState
+    flattening is stripped so rules can anchor on '...kernel$'). Handles
+    the scan-layout leading depth axis and the divisibility fallback.
+    """
+    rules = rules if rules is not None else TP_RULES
+    if path.endswith(".value"):
+        path = path[: -len(".value")]
+    model_size = mesh.shape["model"]
+    spec = _spec_for(path, rules)
+    # depth-stacked (scan-layout, nn/scan.py) params carry a leading
+    # depth axis; shift the rule right so the same feature axis shards
+    if len(spec) > 0 and getattr(leaf, "ndim", 0) == len(spec) + 1:
+        spec = P(None, *spec)
+    # verify divisibility; fall back to replication otherwise
+    for dim, axis in enumerate(spec):
+        if axis is not None and (dim >= getattr(leaf, "ndim", 0) or leaf.shape[dim] % model_size != 0):
+            return P()
+    return spec
+
+
 def tp_shard_state(state, mesh: Mesh, rules=None):
     """Shard an nnx state pytree with tensor-parallel rules.
 
@@ -90,10 +121,8 @@ def tp_shard_state(state, mesh: Mesh, rules=None):
     else is replicated. Shapes not divisible by the mesh axis fall back to
     replication (e.g. tiny norm params).
     """
-    rules = rules if rules is not None else TP_RULES
     flat = list(jax.tree_util.tree_flatten_with_path(state)[0])
     treedef = jax.tree_util.tree_structure(state)
-    model_size = mesh.shape["model"]
 
     def path_str(keypath):
         parts = []
@@ -104,26 +133,11 @@ def tp_shard_state(state, mesh: Mesh, rules=None):
                 parts.append(str(k.idx))
             elif hasattr(k, "name"):
                 parts.append(str(k.name))
-        # flax VariableState leaves flatten with a trailing '.value'
-        # GetAttrKey; drop it so rules can anchor on '...kernel$'
-        if parts and parts[-1] == "value":
-            parts = parts[:-1]
         return ".".join(parts)
 
     leaves = []
     for keypath, leaf in flat:
-        spec = _spec_for(path_str(keypath), rules)
-        # depth-stacked (scan-layout, nn/scan.py) params carry a leading
-        # depth axis; shift the rule right so the same feature axis shards
-        if len(spec) > 0 and getattr(leaf, "ndim", 0) == len(spec) + 1:
-            spec = P(None, *spec)
-        # verify divisibility; fall back to replication otherwise
-        ok = True
-        for dim, axis in enumerate(spec):
-            if axis is not None and (dim >= getattr(leaf, "ndim", 0) or leaf.shape[dim] % model_size != 0):
-                ok = False
-        if not ok:
-            spec = P()
+        spec = leaf_tp_spec(path_str(keypath), leaf, mesh, rules)
         leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -102,6 +102,7 @@ def load_torch_state_dict(
     strict: bool = True,
     verbose: bool = True,
     ignore: Tuple[str, ...] = (),
+    to_device: bool = True,
 ) -> Tuple[List[str], List[str]]:
     """Load a torch-layout state dict (numpy arrays) into an nnx module in place.
 
@@ -112,6 +113,14 @@ def load_torch_state_dict(
     known aliases of other keys (e.g. the reference DPT registers the same
     convs under scratch.layer{i}_rn AND scratch.layer_rn.{i-1}); matching
     keys are dropped before matching and never reported as unexpected.
+
+    ``to_device=False`` keeps each assigned leaf as a host numpy array in
+    the checkpoint's dtype (no per-parameter device transfer and no host
+    cast) — the serving cold-start path, where
+    :func:`uniception_tpu.utils.coldstart.materialize` later ships the
+    whole tree in one packed transfer and casts on device. Works on
+    abstractly-constructed modules (``nnx.eval_shape``) whose leaves are
+    ShapeDtypeStructs.
     """
     if ignore:
         import re
@@ -135,10 +144,10 @@ def load_torch_state_dict(
                 continue
             arrs = [_to_jax(owner, attr, np.asarray(state_dict[k]), var.shape) for k in tkeys]
             arr = np.stack(arrs)
-            cur = var[...]
+            cur = var.get_value()  # works for abstract (ShapeDtypeStruct) leaves too
             if arr.shape != cur.shape:
                 raise ValueError(f"Shape mismatch for {root}.*.{rest}: torch {arr.shape} vs module {cur.shape}")
-            var[...] = jnp.asarray(arr, dtype=cur.dtype)
+            var.set_value(jnp.asarray(arr, dtype=cur.dtype) if to_device else arr)
             used.update(tkeys)
             continue
         if tkey not in state_dict:
@@ -146,10 +155,10 @@ def load_torch_state_dict(
             continue
         arr = np.asarray(state_dict[tkey])
         arr = _to_jax(owner, attr, arr, var.shape)
-        cur = var[...]
+        cur = var.get_value()  # works for abstract (ShapeDtypeStruct) leaves too
         if arr.shape != cur.shape:
             raise ValueError(f"Shape mismatch for {tkey}: torch {arr.shape} vs module {cur.shape}")
-        var[...] = jnp.asarray(arr, dtype=cur.dtype)
+        var.set_value(jnp.asarray(arr, dtype=cur.dtype) if to_device else arr)
         used.add(tkey)
 
     unexpected = [k for k in state_dict.keys() if k not in used]

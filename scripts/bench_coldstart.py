@@ -52,6 +52,24 @@ def build(rngs, dtype):
     return DUSt3R(dtype=dtype, rngs=rngs, **CFG)
 
 
+def fence(state):
+    """Force real completion: on the tunnel backend ``block_until_ready`` may
+    return before un-fetched results actually exist (CLAUDE.md quirk), so
+    fetch one element from a spread of leaves (incl. the largest) — each
+    fetch is a host round trip that cannot complete before the transfer has."""
+    import jax
+    import numpy as np
+
+    leaves = [
+        l
+        for l in jax.tree.leaves(state)
+        if hasattr(l, "dtype") and not jax.dtypes.issubdtype(l.dtype, jax.dtypes.prng_key)
+    ]
+    sample = {0, len(leaves) // 2, len(leaves) - 1, int(np.argmax([l.size for l in leaves]))}
+    for i in sorted(sample):
+        np.asarray(leaves[i].reshape(-1)[:1])
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--make", default=None, help="write serving+torch checkpoints into this dir and exit")
@@ -90,6 +108,7 @@ def main():
         _, state = nnx.split(model)
         state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
         jax.block_until_ready(jax.tree.leaves(state))
+        fence(state)
     else:
         from uniception_tpu.utils.coldstart import abstract_construct, load_native_state, materialize
 
@@ -108,7 +127,7 @@ def main():
 
             model = abstract_construct(thunk)
             t_construct = time.perf_counter() - t0 - t_load
-            model = materialize(model, arrays=arrays, param_dtype=jnp.bfloat16)
+            model = materialize(model, arrays=arrays, param_dtype=jnp.bfloat16, verbose=True)
         else:
             from uniception_tpu.utils.checkpoint import load_checkpoint
             from uniception_tpu.utils.torch_compat import load_torch_state_dict
@@ -123,6 +142,7 @@ def main():
             model = materialize(model, param_dtype=jnp.bfloat16)
         _, state = nnx.split(model)
         jax.block_until_ready(jax.tree.leaves(state))
+        fence(state)
         print(f"  construct(abstract): {t_construct:.2f}s  read-ckpt: {t_load:.2f}s")
     dt = time.perf_counter() - t0
     n = sum(

@@ -123,6 +123,17 @@ def main():
     meta = {k: v for k, v in ckpt.items() if isinstance(v, (str, int, float, bool))}
 
     if args.serving:
+        if args.f32 and args.int8:
+            parser.error(
+                "--f32 and --int8 are mutually exclusive: the online serve path "
+                "quantizes from bf16 params, so an f32-sourced quantization would "
+                "not be bit-identical to serve-time quantize_linears"
+            )
+        # metadata keys that collide with save_native_state's own parameters
+        # (a torch checkpoint can legitimately carry a top-level 'dtype')
+        for reserved in ("dtype", "path", "module"):
+            if reserved in meta:
+                meta[f"ckpt_{reserved}"] = meta.pop(reserved)
         # the converter is a host-side tool: pin jax to CPU so the int8
         # quantization math and the materialize pass never dispatch through
         # a TPU tunnel (and never touch a TPU someone else is using)

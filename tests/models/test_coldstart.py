@@ -130,6 +130,7 @@ def test_materialize_onto_tp_mesh():
     from jax.sharding import NamedSharding
 
     from uniception_tpu.parallel.mesh import leaf_tp_spec, make_mesh
+    from uniception_tpu.utils.pytree import keypath_str
 
     eager = DUSt3R(rngs=nnx.Rngs(0), **CFG)
     sd = state_dict_from_module(eager)
@@ -145,7 +146,7 @@ def test_materialize_onto_tp_mesh():
     for keypath, leaf in flat:
         if jax.dtypes.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key):
             continue
-        path = ".".join(str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", "")))) for k in keypath)
+        path = keypath_str(keypath)
         want = NamedSharding(mesh, leaf_tp_spec(path, leaf, mesh))
         assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (path, leaf.sharding, want)
         if any(a is not None for a in leaf.sharding.spec):

@@ -121,23 +121,14 @@ def tp_shard_state(state, mesh: Mesh, rules=None):
     else is replicated. Shapes not divisible by the mesh axis fall back to
     replication (e.g. tiny norm params).
     """
+    from uniception_tpu.utils.pytree import keypath_str
+
     flat = list(jax.tree_util.tree_flatten_with_path(state)[0])
     treedef = jax.tree_util.tree_structure(state)
 
-    def path_str(keypath):
-        parts = []
-        for k in keypath:
-            if hasattr(k, "key"):
-                parts.append(str(k.key))
-            elif hasattr(k, "idx"):
-                parts.append(str(k.idx))
-            elif hasattr(k, "name"):
-                parts.append(str(k.name))
-        return ".".join(parts)
-
     leaves = []
     for keypath, leaf in flat:
-        spec = leaf_tp_spec(path_str(keypath), leaf, mesh, rules)
+        spec = leaf_tp_spec(keypath_str(keypath), leaf, mesh, rules)
         leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -3,35 +3,36 @@ Serving cold-start: abstract construction + batched weight materialization.
 
 The reference constructs modules eagerly and loads checkpoints with
 torch.load + load_state_dict (reference: uniception/models/encoders/
-croco.py:99-111) — fine on a local GPU. On a TPU host (and especially
-through a remote-dispatch tunnel) that path is latency-bound twice over:
-eager construction pays one dispatch per initializer op, and a per-leaf
-weight load pays one host->device round trip per parameter (~250 ms each
-through the tunnel). Measured on the tunnel backend (scan-layout DUSt3R
-ViT-L 512): eager fast-init construct 23.2 s; eager construct + per-leaf
-876-tensor load 197 s. One *batched* ``jax.device_put`` of the same
-leaves moves at ~1 GB/s with no per-leaf cost.
-
-This module removes the dispatch costs:
+croco.py:99-111) — fine on a local GPU. On a TPU host that path is
+latency-bound three times over: eager construction pays one dispatch per
+initializer op, a per-leaf weight load pays one transfer dispatch per
+parameter (~900 for ViT-L DUSt3R), and torch-layout checkpoints pay a
+host transpose/stack pass per kernel. This module removes all three
+(measured, scan-layout DUSt3R ViT-L 512, fenced, CPU backend — see
+BASELINE.md "Serving cold-start" for the full account incl. the TPU
+tunnel's link-bound caveat):
 
   * :func:`abstract_construct` — ``nnx.eval_shape`` over the constructor:
-    no device work at all (0.5 s for the same model).
-  * :func:`materialize` — ship every host-resident leaf in ONE batched
-    ``jax.device_put``, then cast / zero-fill in a single jitted program.
-    Abstract leaves that were never loaded become on-device zeros inside
-    that program (no transfer); PRNG-key leaves are freshly seeded.
+    no device work at all (~0.6 s vs 7.3 s eager fast-init, 42 s eager).
+  * :func:`materialize` — ship the weights as a handful of buffers (one
+    per dtype section of a packed checkpoint, else one batched
+    ``device_put``), then unpack / cast / zero-fill in a single jitted
+    program. Abstract leaves that were never loaded become on-device
+    zeros inside that program (no transfer); PRNG-key leaves are freshly
+    seeded.
   * :func:`save_native_state` / :func:`load_native_state` — a serving
     checkpoint format in the module's OWN layout (kernels transposed,
-    scan-stacked, optionally pre-cast to bf16), so loading performs zero
-    host-side transforms. The torch-layout load path
-    (``load_torch_state_dict``) costs ~1 min of host transpose/stack
-    copies for ViT-L on a weak host — pay it once offline
-    (``scripts/convert_checkpoints.py --serving``), not per cold start.
+    scan-stacked, pre-cast to bf16, dtype-grouped), so loading is a
+    zero-copy mmap with no host-side transforms. End-to-end
+    time-to-weights 4.6 s vs 151.8 s for the torch-layout interchange
+    path (46 s zip read + ~100 s host transforms) — pay the transforms
+    once offline (``scripts/convert_checkpoints.py --serving``), not per
+    cold start.
 
 Typical serving path (see examples/serve_dust3r.py):
 
     model = abstract_construct(lambda: DUSt3R(..., rngs=nnx.Rngs(0)))
-    arrays = load_native_state("dust3r.serving.npz")
+    arrays, meta = load_native_state("dust3r.nsv")
     model = materialize(model, arrays=arrays, param_dtype=jnp.bfloat16)
 
 or, from a torch-layout checkpoint (slower, host transforms):
@@ -43,6 +44,7 @@ or, from a torch-layout checkpoint (slower, host transforms):
 
 import json
 import os
+from collections.abc import Mapping as _Mapping
 from typing import Callable, Dict, Optional
 
 import jax
@@ -50,7 +52,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-__all__ = ["abstract_construct", "materialize", "save_native_state", "load_native_state", "is_native_state"]
+__all__ = [
+    "abstract_construct",
+    "materialize",
+    "save_native_state",
+    "load_native_state",
+    "is_native_state",
+    "PackedNativeState",
+]
 
 _META_KEY = "__native_state_meta__"
 
@@ -68,17 +77,9 @@ def _is_key(leaf) -> bool:
     return jax.dtypes.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key)
 
 
-def _state_paths(state) -> list:
-    "Dotted path per jax.tree leaf of an nnx State, in tree-flatten order."
-    flat = jax.tree.flatten_with_path(state)[0]
-    out = []
-    for path, _ in flat:
-        parts = []
-        for p in path:
-            key = getattr(p, "key", getattr(p, "idx", getattr(p, "name", None)))
-            parts.append(str(key))
-        out.append(".".join(parts))
-    return out
+# canonical keypath -> dotted-path conversion, shared with parallel/mesh.py
+# so native-checkpoint keys always match sharding-rule paths
+from uniception_tpu.utils.pytree import state_paths as _state_paths  # noqa: E402
 
 
 def materialize(
@@ -91,6 +92,7 @@ def materialize(
     use_tp: bool = False,
     tp_rules=None,
     seed: int = 0,
+    verbose: bool = False,
 ) -> nnx.Module:
     """Realize a (partially) host-resident module on ``device`` with one
     batched transfer and one jitted finalize program.
@@ -122,20 +124,32 @@ def materialize(
     leaves, treedef = jax.tree.flatten(state)
 
     loaded = set()
+    packed = arrays if isinstance(arrays, PackedNativeState) else None
+    packed_map = {}  # leaf index -> (dtype, shape, byte offset) sourced from the blob
     if arrays is not None:
         paths = _state_paths(state)
         for i, p in enumerate(paths):
-            if p in arrays:
+            if p not in arrays:
+                continue
+            want = tuple(getattr(leaves[i], "shape", ()))
+            if packed is not None and p in packed.index and p not in packed.overrides:
+                dt, shape, eoff = packed.index[p]
+                if tuple(shape) != want:
+                    raise ValueError(f"native state {p}: shape {shape} != module {want}")
+                packed_map[i] = (dt, tuple(shape), eoff)
+                leaves[i] = jax.ShapeDtypeStruct(tuple(shape), dt)
+            else:
                 a = arrays[p]
-                want = tuple(getattr(leaves[i], "shape", ()))
                 if tuple(a.shape) != want:
                     raise ValueError(f"native state {p}: shape {a.shape} != module {want}")
                 leaves[i] = np.asarray(a)
-                loaded.add(i)
+            loaded.add(i)
         missing = [
             p
             for i, p in enumerate(paths)
-            if isinstance(leaves[i], jax.ShapeDtypeStruct) and not _is_key(leaves[i])
+            if isinstance(leaves[i], jax.ShapeDtypeStruct)
+            and not _is_key(leaves[i])
+            and i not in packed_map
         ]
         extra = set(arrays) - set(paths)
         if extra:
@@ -175,6 +189,22 @@ def materialize(
     else:
         dev_args = jax.device_put(host_leaves)
 
+    # the packed sections ship as a handful of 1-D buffers (one per dtype) —
+    # on a dispatch-latency-bound backend this is the whole point (see
+    # PackedNativeState docstring)
+    if packed_map:
+        blobs = packed.blobs
+        if _shard_for is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dev_blobs = jax.device_put(blobs, NamedSharding(mesh, PartitionSpec()))
+        elif device is not None:
+            dev_blobs = jax.device_put(blobs, device)
+        else:
+            dev_blobs = jax.device_put(blobs)
+    else:
+        dev_blobs = {}
+
     shapes = [tuple(getattr(l, "shape", ())) for l in leaves]
     # leaves filled from a native checkpoint keep the checkpoint's dtype —
     # save_native_state recorded the serving dtypes (e.g. bf16 params with
@@ -192,25 +222,50 @@ def materialize(
         if not _is_key(l) and (i in host_pos or isinstance(l, jax.ShapeDtypeStruct))
     ]
 
-    def finalize(args):
+    def _from_blob(blobs, i):
+        dt, shp, eoff = packed_map[i]
+        n = int(np.prod(shp))
+        return jax.lax.slice(blobs[dt.name], (eoff,), (eoff + n,)).reshape(shp)
+
+    def finalize(args, blobs):
         out = []
         for i, leaf in enumerate(leaves):
             if _is_key(leaf):
                 out.append(None)
             elif i in host_pos:
                 out.append(args[host_pos[i]].astype(tgt[i]))
+            elif i in packed_map:
+                out.append(_from_blob(blobs, i).astype(tgt[i]))
             elif isinstance(leaf, jax.ShapeDtypeStruct):
                 out.append(jnp.zeros(shapes[i], tgt[i]))
             else:
                 out.append(None)  # concrete jax array: pass through outside
         return [o for o in out if o is not None]
 
-    jit_kwargs = {"donate_argnums": (0,)}
+    jit_kwargs = {"donate_argnums": (0, 1)}
     if _shard_for is not None:
         # keep each leaf in the sharding it was transferred into — without
         # this the compiler is free to re-layout the donated outputs
         jit_kwargs["out_shardings"] = [_shard_for(i) for i in produced_idx]
-    produced = iter(jax.jit(finalize, **jit_kwargs)(dev_args))
+    if verbose:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        jax.block_until_ready((dev_args, dev_blobs))
+        t_put = _time.perf_counter() - t0
+        compiled = jax.jit(finalize, **jit_kwargs).lower(dev_args, dev_blobs).compile()
+        t_compile = _time.perf_counter() - t0 - t_put
+        outs = compiled(dev_args, dev_blobs)
+        jax.block_until_ready(outs)
+        t_exec = _time.perf_counter() - t0 - t_put - t_compile
+        print(
+            f"materialize: transfer {t_put:.2f}s  finalize-compile {t_compile:.2f}s  "
+            f"finalize-exec {t_exec:.2f}s (block_until_ready fences; a tunnel "
+            f"backend may defer work to first fetch)"
+        )
+        produced = iter(outs)
+    else:
+        produced = iter(jax.jit(finalize, **jit_kwargs)(dev_args, dev_blobs))
 
     def _fresh_keys(leaf, i):
         # preserve the leaf's key shape — scan-layout modules stack per-depth
@@ -232,16 +287,62 @@ def materialize(
             new_leaves.append(key)
         elif i in host_pos or isinstance(leaf, jax.ShapeDtypeStruct):
             new_leaves.append(next(produced))
-        elif _shard_for is not None:
-            new_leaves.append(jax.device_put(leaf, _shard_for(i)))  # concrete: re-place on mesh
         else:
-            new_leaves.append(leaf)  # concrete jax array (already placed)
+            # concrete jax array: already on device, but still honor the
+            # param_dtype contract (a partially-eager module would otherwise
+            # silently keep mixed dtypes)
+            if tgt[i] is not None and getattr(leaf, "dtype", None) != tgt[i]:
+                leaf = leaf.astype(tgt[i])
+            if _shard_for is not None:
+                leaf = jax.device_put(leaf, _shard_for(i))  # re-place on mesh
+            new_leaves.append(leaf)
     state = jax.tree.unflatten(treedef, new_leaves)
     return nnx.merge(graphdef, state)
 
 
 _NSV_MAGIC = b"UNICEPTION_NSV1\n"
 _ALIGN = 64
+
+
+class PackedNativeState(_Mapping):
+    """Zero-copy view of a packed ``.nsv`` checkpoint.
+
+    Mapping-compatible (dotted path -> numpy view into one memory map) so
+    it drops into every ``arrays=`` call site — but :func:`materialize`
+    recognizes it and ships each DTYPE SECTION as one contiguous 1-D
+    device buffer (the save format groups tensors by dtype), slicing and
+    reshaping per tensor inside the finalize program — ~4 transfer
+    dispatches instead of ~900 (BASELINE.md serving cold-start table).
+    Per-dtype sections — rather than one byte blob — matter on TPU: a
+    byte-level ``(n, itemsize)`` bitcast reshape gets tiled to (8, 128)
+    sublanes and inflates HBM 32x (measured 34 GB compile-time OOM);
+    1-D native-dtype slices have no such pathology.
+
+    Assigning ``packed[path] = array`` overrides one entry (it then travels
+    the per-leaf host path).
+    """
+
+    def __init__(self, blobs: dict, index: dict, meta: dict):
+        self.blobs = blobs  # dtype name -> contiguous 1-D numpy view of that section
+        self.index = index  # path -> (jnp dtype, shape tuple, element offset in its section)
+        self.meta = meta
+        self.overrides = {}
+
+    def __getitem__(self, k):
+        if k in self.overrides:
+            return self.overrides[k]
+        dt, shape, eoff = self.index[k]
+        n = int(np.prod(shape))
+        return self.blobs[dt.name][eoff : eoff + n].reshape(shape)
+
+    def __setitem__(self, k, v):
+        self.overrides[k] = np.asarray(v)
+
+    def __iter__(self):
+        return iter(set(self.index) | set(self.overrides))
+
+    def __len__(self):
+        return len(set(self.index) | set(self.overrides))
 
 
 def _native_leaves(module, dtype):
@@ -293,16 +394,33 @@ def save_native_state(path: str, module: nnx.Module, *, dtype=None, **metadata) 
         np.savez(path, **payload)
         return
 
+    # group tensors by dtype: the loader then maps each dtype section as ONE
+    # contiguous 1-D array of the native dtype, so materialize transfers a
+    # handful of buffers and unpacks with plain 1-D slices + reshapes on
+    # device (byte-level bitcast decode tiles catastrophically on TPU)
+    by_dt = {}
+    for p, a in entries:
+        by_dt.setdefault(jnp.dtype(a.dtype).name, []).append((p, a))
+    sections = {}
     tensors = []
     off = 0
-    for p, a in entries:
+    for dt_name in sorted(by_dt):
+        itemsize = jnp.dtype(dt_name).itemsize
         off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
-        tensors.append(
-            {"path": p, "dtype": jnp.dtype(a.dtype).name, "shape": list(a.shape), "offset": off}
-        )
-        off += a.nbytes
+        eoff = 0
+        for p, a in by_dt[dt_name]:
+            tensors.append({"path": p, "dtype": dt_name, "shape": list(a.shape), "eoff": eoff})
+            eoff += int(a.size)
+        sections[dt_name] = {"offset": off, "nelems": eoff}
+        off += eoff * itemsize
     header = json.dumps(
-        {"format": "native_state", "tensors": tensors, "meta": metadata}
+        {
+            "format": "native_state",
+            "layout": "dtype-grouped",
+            "sections": sections,
+            "tensors": tensors,
+            "meta": metadata,
+        }
     ).encode()
     with open(path, "wb") as f:
         f.write(_NSV_MAGIC)
@@ -312,18 +430,20 @@ def save_native_state(path: str, module: nnx.Module, *, dtype=None, **metadata) 
         pad = (-base) % _ALIGN
         f.write(b"\0" * pad)
         base += pad
-        for t, (_, a) in zip(tensors, entries):
-            f.seek(base + t["offset"])
-            f.write(np.ascontiguousarray(a).tobytes())
+        for dt_name in sorted(by_dt):
+            f.seek(base + sections[dt_name]["offset"])
+            for _, a in by_dt[dt_name]:
+                f.write(np.ascontiguousarray(a).tobytes())
 
 
 def load_native_state(path: str):
     """Load a :func:`save_native_state` checkpoint.
 
     Returns (arrays, metadata): pass ``arrays`` to :func:`materialize`.
-    Packed (non-.npz) checkpoints come back as zero-copy views of a
-    read-only memory map — no bytes are read until the device transfer
-    streams them.
+    Packed (non-.npz) checkpoints come back as a :class:`PackedNativeState`
+    (Mapping of zero-copy memory-map views; materialize ships its whole
+    tensor region as ONE device buffer and unpacks on device); ``.npz``
+    checkpoints come back as a plain dict of arrays.
     """
     if _sniff_nsv(path):
         with open(path, "rb") as f:
@@ -333,28 +453,43 @@ def load_native_state(path: str):
             base = f.tell()
             base += (-base) % _ALIGN
         mm = np.memmap(path, dtype=np.uint8, mode="r")
+        region = mm[base:]
+        if header.get("layout") == "dtype-grouped":
+            blobs = {}
+            for dt_name, sec in header["sections"].items():
+                dt = jnp.dtype(dt_name)
+                start = int(sec["offset"])
+                blobs[dt_name] = region[start : start + int(sec["nelems"]) * dt.itemsize].view(dt)
+            index = {
+                t["path"]: (jnp.dtype(t["dtype"]), tuple(t["shape"]), int(t["eoff"]))
+                for t in header["tensors"]
+            }
+            return PackedNativeState(blobs, index, header["meta"]), header["meta"]
+        # v1 layout (per-tensor byte offsets): plain dict of zero-copy views
         arrays = {}
         for t in header["tensors"]:
             dt = jnp.dtype(t["dtype"])
             n = int(np.prod(t["shape"])) * dt.itemsize
-            start = base + t["offset"]
-            arrays[t["path"]] = mm[start : start + n].view(dt).reshape(t["shape"])
+            start = int(t["offset"])
+            arrays[t["path"]] = region[start : start + n].view(dt).reshape(t["shape"])
         return arrays, header["meta"]
 
-    data = np.load(path, allow_pickle=False)
-    if _META_KEY not in data.files:
-        raise ValueError(f"{path} is not a native-state checkpoint (use load_checkpoint)")
-    meta = json.loads(str(data[_META_KEY]))
-    dtypes = meta.get("dtypes", {})
-    arrays = {}
-    for k in data.files:
-        if k == _META_KEY:
-            continue
-        a = data[k]
-        want = dtypes.get(k)
-        if want is not None and a.dtype.name != want:
-            a = a.view(jnp.dtype(want))  # void-stored extension dtype (bf16 ...)
-        arrays[k] = a
+    with np.load(path, allow_pickle=False) as data:
+        if _META_KEY not in data.files:
+            raise ValueError(f"{path} is not a native-state checkpoint (use load_checkpoint)")
+        header = json.loads(str(data[_META_KEY]))
+        dtypes = header.get("dtypes", {})
+        arrays = {}
+        for k in data.files:
+            if k == _META_KEY:
+                continue
+            a = data[k]
+            want = dtypes.get(k)
+            if want is not None and a.dtype.name != want:
+                a = a.view(jnp.dtype(want))  # void-stored extension dtype (bf16 ...)
+            arrays[k] = a
+    # same metadata contract as the packed container: user keys only
+    meta = {k: v for k, v in header.items() if k not in ("format", "dtypes")}
     return arrays, meta
 
 

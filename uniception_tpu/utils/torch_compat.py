@@ -96,6 +96,16 @@ def _from_jax(owner: nnx.Module, attr: str, jax_arr: np.ndarray) -> np.ndarray:
     return np.asarray(jax_arr)
 
 
+def _host_cast(arr: np.ndarray, dtype) -> np.ndarray:
+    """to_device=False assignment: keep the leaf on host but in the MODULE's
+    dtype (matching the dtype cast the eager ``to_device=True`` path applies
+    on assignment). A matching dtype is a no-op; a module narrower than the
+    checkpoint (e.g. bf16 params from an f32 interchange file) also halves
+    the bytes the later batched transfer moves."""
+    want = np.dtype(jnp.dtype(dtype))  # ml_dtypes-backed for bf16 et al.
+    return arr if arr.dtype == want else arr.astype(want)
+
+
 def load_torch_state_dict(
     module: nnx.Module,
     state_dict: Dict[str, np.ndarray],
@@ -114,11 +124,13 @@ def load_torch_state_dict(
     convs under scratch.layer{i}_rn AND scratch.layer_rn.{i-1}); matching
     keys are dropped before matching and never reported as unexpected.
 
-    ``to_device=False`` keeps each assigned leaf as a host numpy array in
-    the checkpoint's dtype (no per-parameter device transfer and no host
-    cast) — the serving cold-start path, where
-    :func:`uniception_tpu.utils.coldstart.materialize` later ships the
-    whole tree in one packed transfer and casts on device. Works on
+    ``to_device=False`` keeps each assigned leaf as a host numpy array
+    (no per-parameter device transfer) — the serving cold-start path,
+    where :func:`uniception_tpu.utils.coldstart.materialize` later ships
+    the whole tree in one packed transfer. Leaves whose checkpoint dtype
+    already matches the module's stay untouched; mismatched ones are cast
+    host-side to the module's dtype so the path stays equivalent to the
+    eager load (which casts on every assignment). Works on
     abstractly-constructed modules (``nnx.eval_shape``) whose leaves are
     ShapeDtypeStructs.
     """
@@ -147,7 +159,7 @@ def load_torch_state_dict(
             cur = var.get_value()  # works for abstract (ShapeDtypeStruct) leaves too
             if arr.shape != cur.shape:
                 raise ValueError(f"Shape mismatch for {root}.*.{rest}: torch {arr.shape} vs module {cur.shape}")
-            var.set_value(jnp.asarray(arr, dtype=cur.dtype) if to_device else arr)
+            var.set_value(jnp.asarray(arr, dtype=cur.dtype) if to_device else _host_cast(arr, cur.dtype))
             used.update(tkeys)
             continue
         if tkey not in state_dict:
@@ -158,7 +170,7 @@ def load_torch_state_dict(
         cur = var.get_value()  # works for abstract (ShapeDtypeStruct) leaves too
         if arr.shape != cur.shape:
             raise ValueError(f"Shape mismatch for {tkey}: torch {arr.shape} vs module {cur.shape}")
-        var.set_value(jnp.asarray(arr, dtype=cur.dtype) if to_device else arr)
+        var.set_value(jnp.asarray(arr, dtype=cur.dtype) if to_device else _host_cast(arr, cur.dtype))
         used.add(tkey)
 
     unexpected = [k for k in state_dict.keys() if k not in used]

@@ -12,7 +12,8 @@ shows the TPU-native training loop the rebuild adds, wiring together:
       (double-buffered async host->mesh transfer)
     * uniception_tpu.parallel.training — make_train_step over a
       ("data", "model") mesh: dp batch sharding, optional tp (--tp),
-      ZeRO-1 optimizer-state sharding (--zero1), gradient accumulation,
+      ZeRO-1 optimizer-state sharding (--zero1), FSDP parameter
+      sharding (--fsdp), gradient accumulation,
       bf16 compute via --bf16, gradient checkpointing via --remat
     * save_train_state / restore_train_state — full resume (params +
       optimizer moments + step)
@@ -61,6 +62,7 @@ def main():
     ap.add_argument("--dataset-size", type=int, default=64)
     ap.add_argument("--tp", type=int, default=1, help="model-axis size (tensor parallel)")
     ap.add_argument("--zero1", action="store_true", help="shard optimizer state over the data axis")
+    ap.add_argument("--fsdp", action="store_true", help="shard parameters (and moments) over the data axis (ZeRO-3)")
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--remat", action="store_true", help="gradient checkpointing")
     ap.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
@@ -103,10 +105,11 @@ def main():
         use_tp=args.tp > 1,
         grad_accum=args.grad_accum,
         zero1=args.zero1,
+        fsdp=args.fsdp,
         mu_dtype=jnp.bfloat16 if args.mu_bf16 else None,
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1}")
+    print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1} fsdp={args.fsdp}")
 
     start_step = 0
     if args.resume and args.ckpt_dir and os.path.isdir(args.ckpt_dir):
@@ -114,11 +117,21 @@ def main():
         # restored arrays come back unsharded (restore_train_state contract)
         # — re-apply the mesh layouts or tp/zero1 silently degrade to
         # full per-device replicas after resume
-        from uniception_tpu.parallel.mesh import replicate_state, tp_shard_state, zero1_shard_state
+        from uniception_tpu.parallel.mesh import (
+            fsdp_shard_state,
+            replicate_state,
+            tp_shard_state,
+            zero1_shard_state,
+        )
 
         with ctx.mesh:
             params = tp_shard_state(params, ctx.mesh) if args.tp > 1 else replicate_state(params, ctx.mesh)
-            opt_state = zero1_shard_state(opt_state, ctx.mesh) if args.zero1 else replicate_state(opt_state, ctx.mesh)
+            if args.fsdp:
+                params = fsdp_shard_state(params, ctx.mesh)
+            if args.zero1 or args.fsdp:
+                opt_state = zero1_shard_state(opt_state, ctx.mesh)
+            else:
+                opt_state = replicate_state(opt_state, ctx.mesh)
         print(f"resumed from {args.ckpt_dir} at step {start_step}")
 
     data = synthetic_dataset(args.dataset_size, args.img)

@@ -81,6 +81,59 @@ def test_zero1_matches_unsharded_and_shards_moments():
     assert dev_counts == {8}, f"sharded moments should span all 8 devices: {dev_counts}"
 
 
+@pytest.mark.parametrize("model_axis,use_tp", [(1, False), (2, True)])
+def test_fsdp_matches_replicated_and_shards_params(model_axis, use_tp):
+    """FSDP must change the parameter layout, not the math: the loss
+    trajectory matches the replicated run, the params come back from the
+    step still data-sharded, and per-chip parameter bytes actually drop."""
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    img1, img2, t1, t2 = mk(8, 3, 32, 32), mk(8, 3, 32, 32), mk(8, 32, 32, 3), mk(8, 32, 32, 3)
+
+    def run(fsdp):
+        model = DUSt3R(name="fsdp_test", rngs=nnx.Rngs(0), **SMALL)
+        ctx, params, opt_state = make_train_step(
+            model, learning_rate=1e-3, data=8 // model_axis, model_axis=model_axis,
+            use_tp=use_tp, fsdp=fsdp,
+        )
+        losses = []
+        with ctx.mesh:
+            b = shard_batch((img1, img2, t1, t2), ctx.mesh)
+            for _ in range(4):
+                loss, params, opt_state = ctx.step(params, opt_state, *b)
+                losses.append(float(loss))
+        return losses, params, opt_state
+
+    losses_ref, _, _ = run(fsdp=False)
+    losses_fsdp, params, opt_state = run(fsdp=True)
+    # sharded all-gather/reduce-scatter reorders reductions: tolerance
+    np.testing.assert_allclose(losses_fsdp, losses_ref, rtol=1e-4, atol=1e-5)
+
+    data_size = 8 // model_axis
+    def frac_sharded(tree):
+        total = local = 0
+        n_data = 0
+        for x in jax.tree.leaves(tree):
+            if not hasattr(x, "sharding"):
+                continue
+            spec = tuple(getattr(x.sharding, "spec", ()))
+            total += x.nbytes
+            local += x.nbytes // int(np.prod([
+                data_size if a == "data" else (model_axis if a == "model" else 1)
+                for a in spec
+            ] or [1]))
+            if "data" in spec:
+                n_data += 1
+        return n_data, local / max(total, 1)
+
+    n_data_p, frac_p = frac_sharded(params)
+    assert n_data_p > 0, "no parameter leaf is data-sharded after the step"
+    assert frac_p < 0.35, f"per-chip param bytes should drop ~{1/data_size:.2f}x: {frac_p:.2f}"
+    # optimizer moments inherit the sharding from tx.init on sharded params
+    n_data_o, frac_o = frac_sharded(opt_state)
+    assert n_data_o > 0 and frac_o < 0.5
+
+
 def test_gradient_checkpointing_matches_no_remat():
     "remat must change memory, not math: identical loss and grads."
     rng = np.random.RandomState(0)

@@ -27,6 +27,7 @@ __all__ = [
     "leaf_tp_spec",
     "shard_batch",
     "zero1_shard_state",
+    "fsdp_shard_state",
     "TP_RULES",
 ]
 
@@ -146,6 +147,26 @@ def zero1_shard_state(state, mesh: Mesh):
     size. (The reference has no trainer at all, SURVEY.md §2.8; this is
     TPU-native scaling the rebuild adds.)
     """
+    return _data_shard_largest_axis(state, mesh)
+
+
+def fsdp_shard_state(state, mesh: Mesh):
+    """FSDP / ZeRO-3: shard PARAMETERS over the "data" axis.
+
+    Same per-leaf rule as :func:`zero1_shard_state` (largest free axis
+    divisible by the data-axis size; existing "model" axes from TP are
+    preserved, scalars/indivisible leaves replicate), applied to the
+    parameter pytree itself. Per-chip parameter (and, since ``tx.init``
+    inherits shardings, optimizer-state) memory drops by the data-axis
+    size; XLA's SPMD partitioner inserts the all-gather before each
+    layer's use and reduce-scatters the gradients — the FSDP
+    communication pattern — purely from the sharding constraints
+    (scaling-book recipe; no hand-written collectives).
+    """
+    return _data_shard_largest_axis(state, mesh)
+
+
+def _data_shard_largest_axis(state, mesh: Mesh):
     data_size = mesh.shape["data"]
 
     def shard_leaf(x):

@@ -19,6 +19,7 @@ import optax
 from flax import nnx
 
 from uniception_tpu.parallel.mesh import (
+    fsdp_shard_state,
     make_mesh,
     replicate_state,
     shard_batch,
@@ -69,6 +70,7 @@ def make_train_step(
     use_tp: bool = False,
     grad_accum: int = 1,
     zero1: bool = False,
+    fsdp: bool = False,
     mu_dtype=None,
     donate: bool = True,
     tx: Optional[optax.GradientTransformation] = None,
@@ -83,6 +85,15 @@ def make_train_step(
     zero1: shard the optimizer state over the "data" axis (ZeRO stage 1).
         Optimizer-moment memory drops by the data-axis size; XLA emits the
         slice-update + parameter all-gather from the sharding constraints.
+    fsdp: shard the PARAMETERS over the "data" axis (FSDP / ZeRO stage 3,
+        ``parallel.mesh.fsdp_shard_state``). Per-chip parameter memory —
+        and optimizer-state memory, since ``tx.init`` inherits the
+        shardings — drops by the data-axis size; XLA's SPMD partitioner
+        inserts the per-layer all-gather and the gradient reduce-scatter
+        from the sharding constraints alone. Composes with ``use_tp``
+        (TP axes are preserved; "data" lands on the largest free axis).
+        For models that fit replicated, prefer plain dp (+``zero1``):
+        FSDP trades an all-gather per layer per step for the memory.
     mu_dtype: dtype for adamw's first moment (e.g. ``jnp.bfloat16`` —
         halves its HBM traffic in the bandwidth-bound optimizer, measured
         ~-3.5% step time at ViT-L 512, BASELINE.md round 3). Ignored when
@@ -99,12 +110,19 @@ def make_train_step(
 
     with mesh:
         params = tp_shard_state(params, mesh) if (use_tp and model_axis > 1) else replicate_state(params, mesh)
+        if fsdp:
+            params = fsdp_shard_state(params, mesh)
         if tx is None:
             tx = optax.adamw(learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype)
         if grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
         opt_state = tx.init(params)
-        if zero1:
+        if zero1 or fsdp:
+            # under fsdp the moments mirror the param shapes, so the same
+            # largest-free-axis rule shards them identically to the params;
+            # it also mesh-places tx.init leaves (e.g. adamw's scalar count)
+            # that would otherwise carry a single-device sharding and clash
+            # with the mesh-wide constraint inside the jitted step
             opt_state = zero1_shard_state(opt_state, mesh)
     # pin the optimizer-state layout across steps: without the constraint
     # XLA is free to re-replicate the moments on the step's outputs,
@@ -114,7 +132,15 @@ def make_train_step(
     # tree.map in step() fail with a structure mismatch.
     _NO_SHARDING = object()
     opt_shardings = (
-        jax.tree.map(lambda x: getattr(x, "sharding", None) or _NO_SHARDING, opt_state) if zero1 else None
+        jax.tree.map(lambda x: getattr(x, "sharding", None) or _NO_SHARDING, opt_state)
+        if (zero1 or fsdp)
+        else None
+    )
+    # likewise pin the parameter layout under FSDP — without the constraint
+    # XLA may emit replicated (all-gathered) params as the step's outputs,
+    # silently undoing the sharding after the first step
+    param_shardings = (
+        jax.tree.map(lambda x: getattr(x, "sharding", None) or _NO_SHARDING, params) if fsdp else None
     )
 
     if loss_fn is None:
@@ -131,6 +157,12 @@ def make_train_step(
         loss, grads = jax.value_and_grad(compute_loss)(params, img1, img2, target1, target2)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if param_shardings is not None:
+            params = jax.tree.map(
+                lambda x, s: x if s is _NO_SHARDING else jax.lax.with_sharding_constraint(x, s),
+                params,
+                param_shardings,
+            )
         if opt_shardings is not None:
             opt_state = jax.tree.map(
                 lambda x, s: x if s is _NO_SHARDING else jax.lax.with_sharding_constraint(x, s),

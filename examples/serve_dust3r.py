@@ -48,6 +48,12 @@ def parse_args():
     p.add_argument("--dec-heads", type=int, default=12)
     p.add_argument("--int8", action="store_true", help="w8a8-quantize the trunk linears (production serving config)")
     p.add_argument("--no-scan", action="store_true", help="use the loop layout instead of scan-over-stacked-blocks")
+    p.add_argument(
+        "--compile-cache",
+        default=None,
+        metavar="DIR",
+        help="persistent XLA compilation cache: warm restarts skip the jit compile entirely (utils/compile_cache.py)",
+    )
     return p.parse_args()
 
 
@@ -81,6 +87,10 @@ def main():
     from uniception_tpu.models.utils.config import fast_init, set_attention_impl
 
     set_attention_impl("pallas")
+    if args.compile_cache:
+        from uniception_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     def ctor():
         return DUSt3R(

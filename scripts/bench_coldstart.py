@@ -75,7 +75,18 @@ def main():
     p.add_argument("--make", default=None, help="write serving+torch checkpoints into this dir and exit")
     p.add_argument("--mode", choices=["eager", "native", "torch"], default="eager")
     p.add_argument("--ckpt", default=None)
+    p.add_argument(
+        "--compile-cache",
+        default=None,
+        metavar="DIR",
+        help="persistent XLA compilation cache; run the same mode twice to measure a warm restart",
+    )
     args = p.parse_args()
+
+    if args.compile_cache:
+        from uniception_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     import jax
     import jax.numpy as jnp

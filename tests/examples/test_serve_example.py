@@ -188,6 +188,29 @@ def test_convert_serving_int8_offline_matches_online(tmp_path):
     assert "serving int8" in out.stdout and "pairs/s" in out.stdout, out.stdout
 
 
+def test_serve_compile_cache_warm_restart(torch_ckpt, tmp_path):
+    """--compile-cache must persist the jitted executables: the first serve
+    process populates the cache directory, an identical second process
+    hits it (no new entries) and still serves correctly."""
+    from uniception_tpu.utils.compile_cache import cache_entries
+
+    cache = str(tmp_path / "xla_cache")
+    argv = (
+        "--checkpoint", torch_ckpt, "--pairs", "2", "--batch", "1",
+        "--compile-cache", cache, *_flags(TINY),
+    )
+    out = _run(("examples", "serve_dust3r.py"), *argv)
+    assert out.returncode == 0, out.stderr[-2000:]
+    n_cold = cache_entries(cache)
+    assert n_cold > 0, "first run persisted no compiled executables"
+
+    out = _run(("examples", "serve_dust3r.py"), *argv)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pairs/s" in out.stdout, out.stdout
+    n_warm = cache_entries(cache)
+    assert n_warm == n_cold, f"warm restart recompiled: {n_cold} -> {n_warm} cache entries"
+
+
 def test_serve_outputs_match_across_formats(torch_ckpt, tmp_path):
     "Both load paths must produce the same weights: compare forward outputs."
     from uniception_tpu.models.factory.dust3r import DUSt3R

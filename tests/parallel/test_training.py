@@ -134,6 +134,36 @@ def test_fsdp_matches_replicated_and_shards_params(model_axis, use_tp):
     assert n_data_o > 0 and frac_o < 0.5
 
 
+def test_fsdp_with_grad_accum_matches_replicated():
+    """fsdp composes with optax.MultiSteps: the accumulator state mirrors
+    the (sharded) params, so the same largest-free-axis rule must shard it
+    and the accumulated trajectory must match the replicated run."""
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    img1, img2, t1, t2 = mk(8, 3, 32, 32), mk(8, 3, 32, 32), mk(8, 32, 32, 3), mk(8, 32, 32, 3)
+
+    def run(fsdp):
+        model = DUSt3R(name="fsdp_accum_test", rngs=nnx.Rngs(0), **SMALL)
+        ctx, params, opt_state = make_train_step(
+            model, learning_rate=1e-3, data=8, grad_accum=2, fsdp=fsdp,
+        )
+        losses = []
+        with ctx.mesh:
+            b = shard_batch((img1, img2, t1, t2), ctx.mesh)
+            for _ in range(4):  # 2 optimizer updates through the accumulator
+                loss, params, opt_state = ctx.step(params, opt_state, *b)
+                losses.append(float(loss))
+        return losses, params
+
+    losses_ref, _ = run(fsdp=False)
+    losses_fsdp, params = run(fsdp=True)
+    np.testing.assert_allclose(losses_fsdp, losses_ref, rtol=1e-4, atol=1e-5)
+    assert any(
+        "data" in tuple(getattr(getattr(x, "sharding", None), "spec", ()))
+        for x in jax.tree.leaves(params)
+    ), "no parameter leaf is data-sharded after the accumulated step"
+
+
 def test_gradient_checkpointing_matches_no_remat():
     "remat must change memory, not math: identical loss and grads."
     rng = np.random.RandomState(0)

@@ -10,10 +10,11 @@ helper to build the global ("data", "model") mesh across all hosts with the
 from typing import Optional
 
 import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uniception_tpu.parallel.mesh import make_mesh
 
-__all__ = ["initialize_multihost", "global_mesh"]
+__all__ = ["initialize_multihost", "global_mesh", "shard_local_batch"]
 
 
 def initialize_multihost(
@@ -46,3 +47,18 @@ def global_mesh(model_axis: int = 1):
     on-chip-interconnect rather than DCN.
     """
     return make_mesh(data=-1, model=model_axis, devices=jax.devices())
+
+
+def shard_local_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a global batch from each process's LOCAL shard.
+
+    The multi-host counterpart of ``mesh.shard_batch``: every process passes
+    only the rows it loaded (global_batch / process_count of them), and the
+    result is a global jax.Array sharded along `axis` — no cross-host data
+    movement, each host's rows land on its own devices. Leaves must have
+    equal leading-axis length on every process.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )

@@ -16,6 +16,12 @@ For hosts co-located with the chips, `uniception_tpu.data.normalize_batch`
 host is idle and the PCIe link is wide; normalize on device when frames
 arrive over a narrow link (this environment's axon tunnel, or DCN).
 
+Cold-start ladder (each step subsumes the previous):
+    --checkpoint m.nsv                        native ckpt: no host transforms
+    ... --compile-cache DIR                   warm restarts skip the compile
+    ... --save-artifact m.jexp  (build once)  then
+    --artifact m.jexp --checkpoint m.nsv      no construction, no trace
+
 Usage:
     python examples/serve_dust3r.py                      # synthetic frames
     python examples/serve_dust3r.py --img-size 224 --batch 2 --pairs 8
@@ -54,6 +60,20 @@ def parse_args():
         metavar="DIR",
         help="persistent XLA compilation cache: warm restarts skip the jit compile entirely (utils/compile_cache.py)",
     )
+    p.add_argument(
+        "--save-artifact",
+        default=None,
+        metavar="PATH",
+        help="export the serving computation to an AOT artifact (utils/export.py) and exit; "
+        "serve it later with --artifact (pair it with a native serving checkpoint for the weights)",
+    )
+    p.add_argument(
+        "--artifact",
+        default=None,
+        metavar="PATH",
+        help="serve from an AOT artifact: no model construction, no Python trace — "
+        "requires --checkpoint to be a native serving checkpoint (.nsv)",
+    )
     return p.parse_args()
 
 
@@ -76,21 +96,14 @@ def load_frames(args):
     return rng.randint(0, 256, size=(2 * args.pairs, args.img_size, args.img_size, 3), dtype=np.uint8)
 
 
-def main():
-    args = parse_args()
+def _build_model(args):
+    "Construct + load + (maybe) quantize the serving model; returns (graphdef, state)."
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
-    from uniception_tpu.data.pipeline import prefetch_to_device
     from uniception_tpu.models.factory.dust3r import DUSt3R
-    from uniception_tpu.models.utils.config import fast_init, set_attention_impl
-
-    set_attention_impl("pallas")
-    if args.compile_cache:
-        from uniception_tpu.utils.compile_cache import enable_compilation_cache
-
-        enable_compilation_cache(args.compile_cache)
+    from uniception_tpu.models.utils.config import fast_init
 
     def ctor():
         return DUSt3R(
@@ -173,6 +186,23 @@ def main():
         n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
         print(f"int8-quantized {n_q} trunk linears")
         graphdef, state = nnx.split(model)
+    return graphdef, state
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.data.pipeline import prefetch_to_device
+    from uniception_tpu.models.utils.config import set_attention_impl
+
+    set_attention_impl("pallas")
+    if args.compile_cache:
+        from uniception_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT
 
@@ -180,9 +210,8 @@ def main():
     mean = jnp.asarray(norm.mean).reshape(1, 3, 1, 1)
     std = jnp.asarray(norm.std).reshape(1, 3, 1, 1)
 
-    @jax.jit
-    def infer(state, img1_u8, img2_u8, ts):
-        m = nnx.merge(graphdef, state)
+    def serving_fn(m, img1_u8, img2_u8, ts):
+        "uint8 staging + on-device normalize + two-view forward (the served graph)."
 
         def prep(u8):
             # normalize on device: the host->device link carries uint8 HWC
@@ -193,9 +222,52 @@ def main():
         r1, r2 = m.forward_pair(prep(img1_u8), prep(img2_u8), true_shape1=ts, true_shape2=ts)
         return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
 
+    ts = jnp.broadcast_to(jnp.asarray([args.img_size, args.img_size], jnp.int32), (args.batch, 2))
+
+    if args.artifact is not None:
+        # AOT path (utils/export.py): the serving process constructs nothing
+        # and traces nothing — deserialize the exported computation, feed
+        # param leaves straight from the native checkpoint.
+        from uniception_tpu.utils.coldstart import is_native_state, load_native_state
+        from uniception_tpu.utils.export import load_serving_artifact
+
+        if not (args.checkpoint and is_native_state(args.checkpoint)):
+            raise SystemExit("--artifact requires --checkpoint to be a native serving checkpoint "
+                             "(scripts/convert_checkpoints.py --serving)")
+        t0 = time.perf_counter()
+        art = load_serving_artifact(args.artifact)
+        arrays, _ = load_native_state(args.checkpoint)
+        bound = art.bind(arrays)
+        state = None
+
+        def infer(_state, img1_u8, img2_u8, ts):
+            return bound(img1_u8, img2_u8, ts)
+
+        print(f"AOT artifact bound in {time.perf_counter() - t0:.2f}s (no construction, no trace)")
+    else:
+        graphdef, state = _build_model(args)
+
+        if args.save_artifact is not None:
+            from uniception_tpu.utils.export import save_serving_artifact
+
+            model = nnx.merge(graphdef, state)
+            u8_spec = jax.ShapeDtypeStruct((args.batch, args.img_size, args.img_size, 3), jnp.uint8)
+            ts_spec = jax.ShapeDtypeStruct((args.batch, 2), jnp.int32)
+            save_serving_artifact(
+                args.save_artifact, model, (u8_spec, u8_spec, ts_spec), method=serving_fn,
+                img_size=args.img_size, batch=args.batch, head=args.head, int8=bool(args.int8),
+            )
+            print(f"serving artifact written to {args.save_artifact} "
+                  f"(pair with a native --serving checkpoint; serve with --artifact)")
+            return
+
+        @jax.jit
+        def infer(state, img1_u8, img2_u8, ts):
+            m = nnx.merge(graphdef, state)
+            return serving_fn(m, img1_u8, img2_u8, ts)
+
     frames = load_frames(args)
     n_pairs = len(frames) // 2
-    ts = jnp.broadcast_to(jnp.asarray([args.img_size, args.img_size], jnp.int32), (args.batch, 2))
 
     def host_batches():
         for i in range(0, n_pairs - (n_pairs % args.batch), args.batch):

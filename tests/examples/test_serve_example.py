@@ -211,6 +211,33 @@ def test_serve_compile_cache_warm_restart(torch_ckpt, tmp_path):
     assert n_warm == n_cold, f"warm restart recompiled: {n_cold} -> {n_warm} cache entries"
 
 
+def test_serve_aot_artifact_ladder(torch_ckpt, tmp_path):
+    """The full AOT cold-start ladder: convert --serving -> --save-artifact
+    -> serve with --artifact (no construction, no trace), same output line."""
+    native = str(tmp_path / "serve_native.nsv")
+    out = _run(
+        ("scripts", "convert_checkpoints.py"),
+        torch_ckpt, native, "--serving", *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    art = str(tmp_path / "serve.jexp")
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--checkpoint", native, "--batch", "1", "--save-artifact", art, *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "serving artifact written" in out.stdout, out.stdout
+    assert os.path.exists(art)
+
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--artifact", art, "--checkpoint", native, "--pairs", "2", "--batch", "1", *_flags(TINY),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "AOT artifact bound" in out.stdout and "pairs/s" in out.stdout, out.stdout
+
+
 def test_serve_outputs_match_across_formats(torch_ckpt, tmp_path):
     "Both load paths must produce the same weights: compare forward outputs."
     from uniception_tpu.models.factory.dust3r import DUSt3R

@@ -18,6 +18,7 @@ TPU-native notes:
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -35,6 +36,7 @@ from uniception_tpu.models.prediction_heads.base import (
     PredictionHeadLayeredInput,
 )
 from uniception_tpu.models.prediction_heads.linear import LinearFeature
+from uniception_tpu.models.utils.positional_encoding import make_patch_positions
 from uniception_tpu.ops.rope import Rope2D
 from uniception_tpu.utils.checkpoint import load_checkpoint
 from uniception_tpu.utils.torch_compat import load_torch_state_dict
@@ -93,6 +95,7 @@ class DUSt3R(nnx.Module):
         gradient_checkpointing: bool = False,
         scan_blocks: bool = False,
         head_dtype=None,
+        landscape_only: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -103,6 +106,21 @@ class DUSt3R(nnx.Module):
         # jnp.bfloat16 is an opt-in serving knob: measured full-size head
         # error vs the fp32 path stays ~1e-3 — far inside the reference's own
         # 1e-2 golden gate — while the conv-heavy DPT head runs at bf16 rate.
+        #
+        # landscape_only: make ManyAR mixed-orientation batches END-TO-END
+        # correct. The reference documents this flag but never implements it
+        # (factory/dust3r.py:83 — accepted and unused), so its portrait
+        # samples get canvas-grid RoPE positions in the decoder and
+        # canvas-scrambled head outputs; vanilla CroCo solves it dynamically
+        # (transpose_to_landscape), which is data-dependent control flow and
+        # un-jittable. The TPU-native version is static: true per-sample
+        # positions ride into the info-sharing RoPE, and the heads run TWICE
+        # (canvas grid + transposed token grid) with a per-sample
+        # jnp.where-select — 2x head cost, zero dynamic shapes. Default False
+        # (= the reference's actual behavior). Only active when true_shape is
+        # passed and the patch embed is ManyAR. Outputs stay canvas-layout
+        # (portrait rows spatially transposed, like the inputs); see
+        # uniception_tpu.data.bucketing.extract_view for unpacking.
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         if pretrained_pred_head_checkpoint_paths is None:
             pretrained_pred_head_checkpoint_paths = [None, None]
@@ -116,6 +134,7 @@ class DUSt3R(nnx.Module):
         self.pred_head_type = pred_head_type
         self.pred_head_output_dim = pred_head_output_dim
         self.head_dtype = head_dtype
+        self.landscape_only = landscape_only
         self.depth_mode = depth_mode
         self.conf_mode = conf_mode
         self.pos_embed = pos_embed
@@ -323,10 +342,64 @@ class DUSt3R(nnx.Module):
         feat1, feat2 = self._encode_image_pairs(
             img1, img2, self.data_norm_type, true_shape1=true_shape1, true_shape2=true_shape2
         )
-        return self._decode_and_predict(feat1, feat2, shape1, shape2)
+        return self._decode_and_predict(
+            feat1, feat2, shape1, shape2, true_shape1=true_shape1, true_shape2=true_shape2
+        )
 
-    def _decode_and_predict(self, feat1, feat2, shape1, shape2):
-        info_in = MultiViewTransformerInput(features=[feat1, feat2])
+    def _true_positions(self, feat, true_shape):
+        """Per-sample token positions for a ManyAR batch: landscape rows use
+        the (hp, wp) grid, portrait rows the (wp, hp) grid — the same
+        positions the patch embed computed (patch_embed.py ManyAR)."""
+        B, _, hp, wp = feat.shape
+        pos_land = make_patch_positions(B, hp, wp)
+        pos_port = make_patch_positions(B, wp, hp)
+        is_land = (true_shape[:, 1] >= true_shape[:, 0])[:, None, None]
+        return jnp.where(is_land, pos_land, pos_port)
+
+    def _head_and_adapt(self, head_num, decout, shape):
+        head_out = self._head(head_num, decout, shape)
+        # adaptor nonlinearities (exp/clip) always in fp32
+        return self.adaptor(
+            AdaptorInput(adaptor_feature=head_out.decoded_channels.astype(jnp.float32), output_shape_hw=shape)
+        )
+
+    def _predict_view(self, head_num, decout, shape, true_shape):
+        """Head + adaptor; with ``true_shape`` (landscape_only mode) also run
+        the transposed-token-grid pass and where-select portrait rows — the
+        static equivalent of vanilla CroCo's transpose_to_landscape."""
+        out = self._head_and_adapt(head_num, decout, shape)
+        if true_shape is None:
+            return out
+
+        def regrid(f):
+            # canvas grid -> token order -> transposed grid: portrait rows'
+            # tokens were produced in (wp, hp) row-major order, so this
+            # recovers their TRUE spatial grid (garbage for landscape rows,
+            # which the where-select below discards)
+            B, C, hp, wp = f.shape
+            return f.reshape(B, C, hp * wp).reshape(B, C, wp, hp)
+
+        out_p = self._head_and_adapt(head_num, jax.tree.map(regrid, decout), shape[::-1])
+        is_port = (true_shape[:, 0] > true_shape[:, 1]).reshape(-1, 1, 1, 1)
+        return out.replace(
+            value=jnp.where(is_port, jnp.swapaxes(out_p.value, -1, -2), out.value),
+            confidence=jnp.where(is_port, jnp.swapaxes(out_p.confidence, -1, -2), out.confidence),
+        )
+
+    def _decode_and_predict(self, feat1, feat2, shape1, shape2, true_shape1=None, true_shape2=None):
+        mixed_ar = (
+            self.landscape_only
+            and self.patch_embed_cls == "ManyAR_PatchEmbed"
+            and true_shape1 is not None
+            and true_shape2 is not None
+        )
+        if mixed_ar:
+            info_in = MultiViewTransformerInput(
+                features=[feat1, feat2],
+                positions=[self._true_positions(feat1, true_shape1), self._true_positions(feat2, true_shape2)],
+            )
+        else:
+            info_in = MultiViewTransformerInput(features=[feat1, feat2])
         # Heads run fp32 by default (reference autocast-off region,
         # dust3r.py:309); head_dtype=bf16 is the opt-in serving knob.
         hd = self.head_dtype or jnp.float32
@@ -354,16 +427,8 @@ class DUSt3R(nnx.Module):
                 ],
             }
 
-        head_out1 = self._head(1, decout, shape1)
-        head_out2 = self._head(2, decout, shape2)
-
-        # adaptor nonlinearities (exp/clip) always in fp32
-        out1 = self.adaptor(
-            AdaptorInput(adaptor_feature=head_out1.decoded_channels.astype(jnp.float32), output_shape_hw=shape1)
-        )
-        out2 = self.adaptor(
-            AdaptorInput(adaptor_feature=head_out2.decoded_channels.astype(jnp.float32), output_shape_hw=shape2)
-        )
+        out1 = self._predict_view(1, decout, shape1, true_shape1 if mixed_ar else None)
+        out2 = self._predict_view(2, decout, shape2, true_shape2 if mixed_ar else None)
 
         res1 = {
             "pts3d": jnp.transpose(out1.value, (0, 2, 3, 1)),
@@ -390,4 +455,7 @@ class DUSt3R(nnx.Module):
         view2.setdefault("instance", [str(i) for i in range(view2["img"].shape[0])])
 
         feat1, feat2 = self._encode_symmetrized(view1, view2)
-        return self._decode_and_predict(feat1, feat2, shape1, shape2)
+        return self._decode_and_predict(
+            feat1, feat2, shape1, shape2,
+            true_shape1=view1.get("true_shape"), true_shape2=view2.get("true_shape"),
+        )

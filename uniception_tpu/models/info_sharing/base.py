@@ -36,11 +36,18 @@ class MultiViewTransformerInput(InfoSharingInput):
     features: per-view (batch, input_embed_dim, feat_h, feat_w).
     additional_input_tokens: (batch, input_embed_dim, num_additional).
     additional_input_tokens_per_view: per-view (batch, input_embed_dim, n).
+    positions: optional per-view TRUE token positions (batch, N, 2) for the
+        custom positional encoding. The reference regenerates positions from
+        the canvas grid (cross_attention_transformer.py:228-233), which is
+        wrong for ManyAR portrait samples whose tokens are in transposed-grid
+        order; passing the patch embed's own positions here keeps RoPE
+        geometry correct per sample (see DUSt3R ``landscape_only``).
     """
 
     features: List[jax.Array]
     additional_input_tokens: Optional[jax.Array] = None
     additional_input_tokens_per_view: Optional[List[jax.Array]] = None
+    positions: Optional[List[jax.Array]] = None
 
 
 class MultiViewTransformerOutput(InfoSharingOutput):

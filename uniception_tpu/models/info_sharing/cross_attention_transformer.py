@@ -157,7 +157,12 @@ class MultiViewCrossAttentionTransformer(UniCeptionInfoSharingBase):
         batch_size, _, height, width = feats[0].shape
         tokens = [jnp.transpose(f, (0, 2, 3, 1)).reshape(batch_size, height * width, self.input_embed_dim) for f in feats]
         if self.custom_positional_encoding is not None:
-            positions = [make_patch_positions(batch_size, height, width) for _ in feats]
+            if model_input.positions is not None:
+                # caller-provided true positions (ManyAR mixed-orientation
+                # batches — see MultiViewTransformerInput.positions)
+                positions = list(model_input.positions)
+            else:
+                positions = [make_patch_positions(batch_size, height, width) for _ in feats]
         else:
             positions = [None] * self.num_views
         tokens = [self.proj_embed(t) for t in tokens]

@@ -121,6 +121,32 @@ def test_pack_extract_roundtrip_through_model():
     np.testing.assert_allclose(native, np.asarray(ref_p["pts3d"][0]), rtol=1e-4, atol=2e-4)
 
 
+def test_global_transformer_honors_caller_positions():
+    "MultiViewTransformerInput.positions also feeds global/alternating RoPE."
+    from uniception_tpu.models.info_sharing.base import MultiViewTransformerInput
+    from uniception_tpu.models.info_sharing.global_attention_transformer import (
+        MultiViewGlobalAttentionTransformer,
+    )
+    from uniception_tpu.models.utils.positional_encoding import make_patch_positions
+
+    m = nnx.jit(lambda mod, inp: mod(inp).features[0])
+    mod = MultiViewGlobalAttentionTransformer(
+        name="pos_test", input_embed_dim=48, dim=64, depth=2, num_heads=4,
+        custom_positional_encoding="rope", rngs=nnx.Rngs(0),
+    )
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(2, 48, 2, 3).astype(np.float32)) for _ in range(2)]
+
+    default = m(mod, MultiViewTransformerInput(features=feats))
+    same = make_patch_positions(2, 2, 3)
+    explicit = m(mod, MultiViewTransformerInput(features=feats, positions=[same, same]))
+    np.testing.assert_array_equal(np.asarray(default), np.asarray(explicit))
+
+    transposed = make_patch_positions(2, 3, 2)
+    changed = m(mod, MultiViewTransformerInput(features=feats, positions=[transposed, transposed]))
+    assert not np.allclose(np.asarray(default), np.asarray(changed), atol=1e-5)
+
+
 def test_all_landscape_is_bit_identical_to_flag_off():
     "With homogeneous landscape inputs the flag must not change outputs at all."
     rng = np.random.RandomState(0)

@@ -251,7 +251,12 @@ class MultiViewGlobalAttentionTransformer(_GlobalAttentionBase):
                 raise ValueError(
                     "Custom positional encoding is not supported when additional tokens are provided."
                 )
-            pos = jnp.concatenate([make_patch_positions(B, H, W)] * num_views, axis=1)
+            if model_input.positions is not None:
+                # caller-provided true per-view positions (ManyAR mixed-
+                # orientation batches — see MultiViewTransformerInput.positions)
+                pos = jnp.concatenate(list(model_input.positions), axis=1)
+            else:
+                pos = jnp.concatenate([make_patch_positions(B, H, W)] * num_views, axis=1)
         else:
             pos = None
 

@@ -121,6 +121,38 @@ def test_pack_extract_roundtrip_through_model():
     np.testing.assert_allclose(native, np.asarray(ref_p["pts3d"][0]), rtol=1e-4, atol=2e-4)
 
 
+def test_gradients_through_mixed_batch_match_native():
+    """Training oracle: d(loss on the portrait row)/d(input) through the
+    mixed ManyAR batch equals the native-orientation run's input gradient
+    (transposed into the canvas) — backward through positions-into-RoPE,
+    dual-pass heads, and the per-row where-select."""
+    img1, ts1, land1, port1 = _mixed_batch(2)
+    img2, ts2, land2, port2 = _mixed_batch(3)
+    rng = np.random.RandomState(9)
+    tgt_native = jnp.asarray(rng.randn(LONG, SHORT, 3).astype(np.float32))
+
+    m = _build("ManyAR_PatchEmbed", "linear", landscape_only=True)
+
+    def loss_mixed(a, b):
+        res1, _ = m.forward_pair(a, b, true_shape1=ts1, true_shape2=ts2)
+        # portrait row in canvas layout = transposed native prediction
+        return jnp.sum((res1["pts3d"][1] - jnp.swapaxes(tgt_native, 0, 1)) ** 2)
+
+    g_mixed = jax.grad(loss_mixed)(img1, img2)[1]  # (3, SHORT, LONG) canvas row
+
+    m_ref = _build("PatchEmbedDust3R", "linear")
+
+    def loss_native(a, b):
+        r1, _ = m_ref.forward_pair(a, b)
+        return jnp.sum((r1["pts3d"][0] - tgt_native) ** 2)
+
+    g_native = jax.grad(loss_native)(port1, port2)[0]  # (3, LONG, SHORT)
+
+    np.testing.assert_allclose(
+        np.asarray(g_mixed), np.asarray(jnp.swapaxes(g_native, -1, -2)), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_global_transformer_honors_caller_positions():
     "MultiViewTransformerInput.positions also feeds global/alternating RoPE."
     from uniception_tpu.models.info_sharing.base import MultiViewTransformerInput

@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
     ap.add_argument("--bf16", action="store_true", help="bf16 compute (fp32 params)")
     ap.add_argument("--mu-bf16", action="store_true", help="bf16 adamw first moment (halves its optimizer HBM traffic)")
+    ap.add_argument(
+        "--norm-loss",
+        action="store_true",
+        help="scale-invariant loss (DUSt3R norm_mode='avg_dis': preds and gt each normalized by their joint mean distance)",
+    )
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -79,6 +84,7 @@ def main():
     from uniception_tpu.data.pipeline import epoch_batches, normalize_batch, prefetch_to_device
     from uniception_tpu.models.factory.dust3r import DUSt3R
     from uniception_tpu.parallel.training import (
+        dust3r_confidence_loss,
         make_train_step,
         restore_train_state,
         save_train_state,
@@ -98,8 +104,15 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else None,
         rngs=nnx.Rngs(0),
     )
+    loss_fn = None
+    if args.norm_loss:
+        def loss_fn(m, img1, img2, target1, target2):
+            res1, res2 = m.forward_pair(img1, img2)
+            return dust3r_confidence_loss(res1, res2, target1, target2, norm_mode="avg_dis")
+
     ctx, params, opt_state = make_train_step(
         model,
+        loss_fn=loss_fn,
         learning_rate=args.lr,
         model_axis=args.tp,
         use_tp=args.tp > 1,

@@ -232,3 +232,42 @@ def test_save_restore_continue_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(float(loss_resumed), float(loss_ref), rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_normalized_loss_is_scale_invariant():
+    "norm_mode='avg_dis': scaling preds AND targets by any factor leaves the loss unchanged."
+    from uniception_tpu.parallel.training import dust3r_confidence_loss, normalize_pointmaps
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 8, 8
+    pts1 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    pts2 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    conf = jnp.asarray(1.0 + rng.rand(B, H, W, 1).astype(np.float32))
+    t1 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    t2 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    valid1 = jnp.asarray(rng.rand(B, H, W) > 0.3)
+    valid2 = jnp.asarray(rng.rand(B, H, W) > 0.3)
+
+    def mk(p1, p2):
+        return {"pts3d": p1, "conf": conf}, {"pts3d_in_other_view": p2, "conf": conf}
+
+    r1, r2 = mk(pts1, pts2)
+    base = dust3r_confidence_loss(r1, r2, t1, t2, valid1=valid1, valid2=valid2, norm_mode="avg_dis")
+    s1, s2 = mk(pts1 * 7.3, pts2 * 7.3)
+    scaled = dust3r_confidence_loss(s1, s2, t1 * 0.11, t2 * 0.11, valid1=valid1, valid2=valid2, norm_mode="avg_dis")
+    np.testing.assert_allclose(float(base), float(scaled), rtol=1e-5)
+
+    # default None is the raw metric loss (prior behavior): NOT scale-invariant
+    raw = dust3r_confidence_loss(r1, r2, t1, t2, valid1=valid1, valid2=valid2)
+    raw_scaled = dust3r_confidence_loss(s1, s2, t1, t2, valid1=valid1, valid2=valid2)
+    assert abs(float(raw) - float(raw_scaled)) > 1e-3
+
+    # normalize_pointmaps: joint scale = mean valid distance over both views
+    n1, n2, s = normalize_pointmaps(pts1, pts2, valid1, valid2)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(pts1 / s), rtol=1e-6)
+    for b in range(B):
+        db = np.concatenate(
+            [np.linalg.norm(np.asarray(pts1[b]), axis=-1)[np.asarray(valid1[b])],
+             np.linalg.norm(np.asarray(pts2[b]), axis=-1)[np.asarray(valid2[b])]]
+        )
+        np.testing.assert_allclose(float(s[b, 0, 0, 0]), db.mean(), rtol=1e-5)

@@ -27,26 +27,66 @@ from uniception_tpu.parallel.mesh import (
     zero1_shard_state,
 )
 
-__all__ = ["dust3r_confidence_loss", "make_train_step", "TrainContext", "save_train_state", "restore_train_state"]
+__all__ = [
+    "dust3r_confidence_loss",
+    "normalize_pointmaps",
+    "make_train_step",
+    "TrainContext",
+    "save_train_state",
+    "restore_train_state",
+]
 
 
-def dust3r_confidence_loss(res1, res2, target1, target2, alpha: float = 0.2, valid1=None, valid2=None):
+def normalize_pointmaps(p1, p2, valid1=None, valid2=None, eps=1e-8):
+    """Joint avg-distance normalization over a two-view pointmap pair
+    (DUSt3R's published ``norm_mode='avg_dis'``): divide both views by the
+    per-batch-element mean distance-to-origin over (valid) pixels of BOTH
+    views. Pure reductions — static shapes, jit/pjit-safe.
+
+    p1, p2: (B, H, W, 3). Returns (p1/s, p2/s, s) with s (B, 1, 1, 1).
+    """
+    d1 = jnp.linalg.norm(p1, axis=-1)
+    d2 = jnp.linalg.norm(p2, axis=-1)
+    v1 = jnp.ones_like(d1) if valid1 is None else valid1.astype(d1.dtype)
+    v2 = jnp.ones_like(d2) if valid2 is None else valid2.astype(d2.dtype)
+    num = jnp.sum(d1 * v1, axis=(1, 2)) + jnp.sum(d2 * v2, axis=(1, 2))
+    den = jnp.sum(v1, axis=(1, 2)) + jnp.sum(v2, axis=(1, 2))
+    scale = jnp.maximum(num / jnp.maximum(den, 1.0), eps)[:, None, None, None]
+    return p1 / scale, p2 / scale, scale
+
+
+def dust3r_confidence_loss(
+    res1, res2, target1, target2, alpha: float = 0.2, valid1=None, valid2=None, norm_mode: Optional[str] = None
+):
     """DUSt3R-style confidence-weighted pointmap regression loss.
 
     L = mean(conf * ||pts - gt|| - alpha * log conf), per view, masked by
     validity when provided. targets are (B, H, W, 3) pointmaps.
-    """
 
-    def view_loss(res, key, target, valid):
+    norm_mode="avg_dis": DUSt3R's scale-invariant training objective —
+    predictions and ground truth are each normalized by their OWN joint
+    (both-views) mean distance before the regression, so the model is not
+    penalized for global scale (monocular scale is unobservable). The
+    reference ships no trainer (SURVEY.md §0); this follows the public
+    DUSt3R recipe. Default None = raw metric regression (unchanged).
+    """
+    pts1, pts2 = res1["pts3d"], res2["pts3d_in_other_view"]
+    if norm_mode is not None:
+        if norm_mode != "avg_dis":
+            raise ValueError(f"unknown norm_mode: {norm_mode!r} (supported: 'avg_dis')")
+        pts1, pts2, _ = normalize_pointmaps(pts1, pts2, valid1, valid2)
+        target1, target2, _ = normalize_pointmaps(target1, target2, valid1, valid2)
+
+    def view_loss(res, pts, target, valid):
         conf = res["conf"][..., 0]
-        err = jnp.linalg.norm(res[key] - target, axis=-1)
+        err = jnp.linalg.norm(pts - target, axis=-1)
         per_px = conf * err - alpha * jnp.log(conf)
         if valid is not None:
             per_px = jnp.where(valid, per_px, 0.0)
             return jnp.sum(per_px) / jnp.maximum(jnp.sum(valid), 1)
         return jnp.mean(per_px)
 
-    return view_loss(res1, "pts3d", target1, valid1) + view_loss(res2, "pts3d_in_other_view", target2, valid2)
+    return view_loss(res1, pts1, target1, valid1) + view_loss(res2, pts2, target2, valid2)
 
 
 class TrainContext:

@@ -192,3 +192,18 @@ def test_all_landscape_is_bit_identical_to_flag_off():
     r_off, _ = m_off.forward_pair(img1, img2, true_shape1=ts, true_shape2=ts)
     np.testing.assert_array_equal(np.asarray(r_on["pts3d"]), np.asarray(r_off["pts3d"]))
     np.testing.assert_array_equal(np.asarray(r_on["conf"]), np.asarray(r_off["conf"]))
+
+
+def test_pack_views_rejects_mixed_canvas_sizes_with_guidance():
+    from uniception_tpu.data import pack_views
+
+    with pytest.raises(ValueError, match="bucket images"):
+        pack_views([np.zeros((3, 32, 48), np.float32), np.zeros((3, 64, 96), np.float32)])
+
+
+def test_chain_stages_reject_landscape_only():
+    from uniception_tpu.parallel.chain import dust3r_chain_stages
+
+    m = _build("ManyAR_PatchEmbed", "linear", landscape_only=True)
+    with pytest.raises(NotImplementedError, match="landscape_only"):
+        dust3r_chain_stages(m)

@@ -41,14 +41,13 @@ def pack_views(images: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
         _, H, W = im.shape
         shapes.append((H, W))
         rows.append(np.swapaxes(im, -1, -2) if H > W else im)
-    canvas = np.stack(rows)
     hw = {r.shape[-2:] for r in rows}
     if len(hw) != 1:
         raise ValueError(
             f"mixed canvas sizes {sorted(hw)}: bucket images so every batch "
             "shares one (h, w) canvas (transposes of each other are fine)"
         )
-    return canvas, np.asarray(shapes, np.int32)
+    return np.stack(rows), np.asarray(shapes, np.int32)
 
 
 def extract_view(x: np.ndarray, true_shape: np.ndarray) -> np.ndarray:

@@ -103,6 +103,13 @@ def dust3r_chain_stages(model) -> List[Tuple[Callable, nnx.Module]]:
 
     import jax.numpy as jnp
 
+    if getattr(model, "landscape_only", False):
+        raise NotImplementedError(
+            "dust3r_chain_stages does not implement the landscape_only "
+            "dual-pass head path; portrait rows of a mixed ManyAR batch "
+            "would come out canvas-scrambled. Use model.forward_pair, or "
+            "construct with landscape_only=False for homogeneous batches."
+        )
     data_norm_type = model.data_norm_type
     pred_head_type = model.pred_head_type
     hd = model.head_dtype or jnp.float32

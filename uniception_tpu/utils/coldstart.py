@@ -79,6 +79,7 @@ def _is_key(leaf) -> bool:
 
 # canonical keypath -> dotted-path conversion, shared with parallel/mesh.py
 # so native-checkpoint keys always match sharding-rule paths
+from uniception_tpu.utils.framing import read_framed_header, write_framed_header  # noqa: E402
 from uniception_tpu.utils.pytree import state_paths as _state_paths  # noqa: E402
 
 
@@ -126,6 +127,7 @@ def materialize(
     loaded = set()
     packed = arrays if isinstance(arrays, PackedNativeState) else None
     packed_map = {}  # leaf index -> (dtype, shape, byte offset) sourced from the blob
+    paths = None  # computed lazily, shared by the arrays= and mesh= branches
     if arrays is not None:
         paths = _state_paths(state)
         for i, p in enumerate(paths):
@@ -176,7 +178,7 @@ def materialize(
 
         from uniception_tpu.parallel.mesh import leaf_tp_spec
 
-        all_paths = _state_paths(state)
+        all_paths = paths if paths is not None else _state_paths(state)
 
         def _shard_for(i):
             if use_tp:
@@ -413,19 +415,15 @@ def save_native_state(path: str, module: nnx.Module, *, dtype=None, **metadata) 
             eoff += int(a.size)
         sections[dt_name] = {"offset": off, "nelems": eoff}
         off += eoff * itemsize
-    header = json.dumps(
-        {
-            "format": "native_state",
-            "layout": "dtype-grouped",
-            "sections": sections,
-            "tensors": tensors,
-            "meta": metadata,
-        }
-    ).encode()
+    header = {
+        "format": "native_state",
+        "layout": "dtype-grouped",
+        "sections": sections,
+        "tensors": tensors,
+        "meta": metadata,
+    }
     with open(path, "wb") as f:
-        f.write(_NSV_MAGIC)
-        f.write(len(header).to_bytes(8, "little"))
-        f.write(header)
+        write_framed_header(f, _NSV_MAGIC, header)
         base = f.tell()
         pad = (-base) % _ALIGN
         f.write(b"\0" * pad)
@@ -447,9 +445,7 @@ def load_native_state(path: str):
     """
     if _sniff_nsv(path):
         with open(path, "rb") as f:
-            f.read(len(_NSV_MAGIC))
-            hlen = int.from_bytes(f.read(8), "little")
-            header = json.loads(f.read(hlen).decode())
+            header = read_framed_header(f, _NSV_MAGIC, what="native-state checkpoint")
             base = f.tell()
             base += (-base) % _ALIGN
         mm = np.memmap(path, dtype=np.uint8, mode="r")

@@ -42,7 +42,6 @@ Typical flow::
     res1, res2 = fn(img1, img2)
 """
 
-import json
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -50,6 +49,7 @@ import jax
 import numpy as np
 from flax import nnx
 
+from uniception_tpu.utils.framing import read_framed_header, write_framed_header
 from uniception_tpu.utils.pytree import state_paths as _state_paths
 
 __all__ = ["save_serving_artifact", "load_serving_artifact", "ServingArtifact"]
@@ -104,22 +104,18 @@ def save_serving_artifact(
     )(leaf_specs, *input_specs)
     blob = exp.serialize()
 
-    header = json.dumps(
-        {
-            "format": "uniception_tpu_serving_artifact",
-            "method": method if isinstance(method, str) else getattr(method, "__qualname__", "callable"),
-            "param_paths": paths,
-            "param_specs": [[list(s.shape), s.dtype.name] for s in leaf_specs],
-            "input_specs": [[list(s.shape), s.dtype.name] for s in input_specs],
-            "platforms": list(exp.platforms),
-            "meta": metadata,
-        }
-    ).encode()
+    header = {
+        "format": "uniception_tpu_serving_artifact",
+        "method": method if isinstance(method, str) else getattr(method, "__qualname__", "callable"),
+        "param_paths": paths,
+        "param_specs": [[list(s.shape), s.dtype.name] for s in leaf_specs],
+        "input_specs": [[list(s.shape), s.dtype.name] for s in input_specs],
+        "platforms": list(exp.platforms),
+        "meta": metadata,
+    }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
-        f.write(_MAGIC)
-        f.write(len(header).to_bytes(8, "little"))
-        f.write(header)
+        write_framed_header(f, _MAGIC, header)
         f.write(blob)
 
 
@@ -170,11 +166,7 @@ class ServingArtifact:
 def load_serving_artifact(path: str) -> ServingArtifact:
     "Load a :func:`save_serving_artifact` file. No model code required."
     with open(path, "rb") as f:
-        magic = f.read(len(_MAGIC))
-        if magic != _MAGIC:
-            raise ValueError(f"{path} is not a serving artifact")
-        hlen = int.from_bytes(f.read(8), "little")
-        header = json.loads(f.read(hlen).decode())
+        header = read_framed_header(f, _MAGIC, what="serving artifact")
         blob = f.read()
     exp = jax.export.deserialize(blob)
     return ServingArtifact(exp, header)

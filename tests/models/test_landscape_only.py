@@ -28,13 +28,14 @@ CFG = dict(
 SHORT, LONG = 32, 48  # patch 16 -> 2x3 / 3x2 grids
 
 
-def _build(patch_cls, head, landscape_only=False):
+def _build(patch_cls, head, landscape_only=False, scan_blocks=False):
     cfg = dict(CFG)
     if head == "dpt":
         cfg["info_sharing_depth"] = 9  # IFR hooks [5, 8] (reference config) need depth >= 9
     return DUSt3R(
         name="lo_test", img_size=(SHORT, LONG), patch_embed_cls=patch_cls,
-        pred_head_type=head, landscape_only=landscape_only, rngs=nnx.Rngs(0), **cfg,
+        pred_head_type=head, landscape_only=landscape_only, scan_blocks=scan_blocks,
+        rngs=nnx.Rngs(0), **cfg,
     )
 
 
@@ -207,3 +208,20 @@ def test_chain_stages_reject_landscape_only():
     m = _build("ManyAR_PatchEmbed", "linear", landscape_only=True)
     with pytest.raises(NotImplementedError, match="landscape_only"):
         dust3r_chain_stages(m)
+
+
+def test_landscape_only_composes_with_scan_layout():
+    "Serving default (scan_blocks=True): mixed rows still match native runs."
+    img1, ts1, land1, port1 = _mixed_batch(4)
+    img2, ts2, land2, port2 = _mixed_batch(5)
+
+    m = _build("ManyAR_PatchEmbed", "linear", landscape_only=True, scan_blocks=True)
+    res1, _ = m.forward_pair(img1, img2, true_shape1=ts1, true_shape2=ts2)
+
+    m_ref = _build("PatchEmbedDust3R", "linear", scan_blocks=True)
+    ref_p, _ = m_ref.forward_pair(port1, port2)
+    np.testing.assert_allclose(
+        np.asarray(res1["pts3d"][1]),
+        np.asarray(jnp.swapaxes(ref_p["pts3d"][0], 0, 1)),
+        rtol=1e-4, atol=2e-4,
+    )

@@ -124,3 +124,32 @@ def test_serving_process_needs_no_model_code(tmp_path):
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"serving process failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
     assert "SERVING_OK" in r.stdout
+
+
+def test_artifact_generalizes_beyond_dust3r(tmp_path):
+    """Any nnx module exports: the N-view pointmap model through a callable
+    ``method`` (its __call__ takes a LIST of views, so the entry point is
+    wrapped) — exercising the method=callable path too."""
+    from uniception_tpu.models.factory.multiview import MultiViewPointmapModel
+
+    model = MultiViewPointmapModel(
+        name="export_mv", num_views=3, img_size=(32, 32), attention_type="global",
+        enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
+        info_sharing_dim=64, info_sharing_depth=2, info_sharing_num_heads=4,
+        rngs=nnx.Rngs(0),
+    )
+    rng = np.random.RandomState(0)
+    views = [jnp.asarray(rng.randn(1, 3, 32, 32).astype(np.float32)) for _ in range(3)]
+    entry = lambda m, v1, v2, v3: m([v1, v2, v3])
+    ref = entry(model, *views)
+
+    art_path = str(tmp_path / "mv.jexp")
+    nsv_path = str(tmp_path / "mv.nsv")
+    save_serving_artifact(art_path, model, tuple(views), method=entry)
+    save_native_state(nsv_path, model)
+
+    art = load_serving_artifact(art_path)
+    arrays, _ = load_native_state(nsv_path)
+    out = art.bind(arrays)(*views)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r["pts3d"]), np.asarray(o["pts3d"]), atol=1e-5, rtol=1e-5)

@@ -25,6 +25,14 @@ Modes:
     native  abstract_construct + load_native_state + materialize(bf16)
     torch   abstract_construct + load_checkpoint + load_torch_state_dict(
             to_device=False) + materialize(bf16)  (torch-layout interchange)
+    artifact  load_serving_artifact + load_native_state + bind + ONE forward
+            (utils/export.py AOT path: no construction, no Python trace)
+
+--first-result extends eager/native/torch with jit(forward_pair) + one
+forward so they are comparable to the artifact mode's time-to-first-
+inference (the artifact mode always measures through the first result).
+Pair any mode with --compile-cache DIR and run it twice to split the
+XLA-compile share out of the cold start.
 """
 
 import argparse
@@ -33,6 +41,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import uniception_tpu  # noqa: F401  (re-asserts JAX_PLATFORMS env over the sitecustomize force-set)
 
 CFG = dict(
     name="dust3r_serve",
@@ -72,9 +82,16 @@ def fence(state):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--make", default=None, help="write serving+torch checkpoints into this dir and exit")
-    p.add_argument("--mode", choices=["eager", "native", "torch"], default="eager")
+    p.add_argument("--make", default=None, help="write serving+torch checkpoints (and the AOT artifact) into this dir and exit")
+    p.add_argument("--mode", choices=["eager", "native", "torch", "artifact"], default="eager")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--artifact-path", default=None, help="(mode=artifact) .jexp file from --make")
+    p.add_argument("--batch", type=int, default=2, help="serving batch (pairs); must match the artifact's")
+    p.add_argument(
+        "--first-result",
+        action="store_true",
+        help="extend eager/native/torch through jit + one forward (comparable to mode=artifact)",
+    )
     p.add_argument(
         "--compile-cache",
         default=None,
@@ -107,10 +124,44 @@ def main():
         save_native_state(os.path.join(args.make, "serve_bf16.nsv"), model, dtype=jnp.bfloat16)
         save_native_state(os.path.join(args.make, "serve_bf16.npz"), model, dtype=jnp.bfloat16)
         save_checkpoint(os.path.join(args.make, "torch.npz"), state_dict_from_module(model))
-        print(f"wrote {args.make}/serve_bf16.{{nsv,npz}} and {args.make}/torch.npz")
+        from uniception_tpu.utils.export import save_serving_artifact
+
+        # the artifact's param calling convention must match the bf16 native
+        # checkpoint it will be served with: cast before exporting
+        _, st = nnx.split(model)
+        st = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if getattr(x, "dtype", None) == jnp.float32 else x, st
+        )
+        nnx.update(model, st)
+        # trace-time kernel routing: run --make ON the serving backend so the
+        # artifact embeds the Pallas lowerings (utils/export.py caveat)
+        spec = jax.ShapeDtypeStruct((args.batch, 3, *CFG["img_size"]), jnp.float32)
+        save_serving_artifact(os.path.join(args.make, "serve.jexp"), model, (spec, spec))
+        print(f"wrote {args.make}/serve_bf16.{{nsv,npz}}, {args.make}/torch.npz, {args.make}/serve.jexp (b{args.batch})")
         return
 
     t0 = time.perf_counter()
+    if args.mode == "artifact":
+        import numpy as np
+
+        from uniception_tpu.utils.coldstart import load_native_state
+        from uniception_tpu.utils.export import load_serving_artifact
+
+        art = load_serving_artifact(args.artifact_path)
+        arrays, _ = load_native_state(args.ckpt)
+        t_load = time.perf_counter() - t0
+        fn = art.bind(arrays)
+        img = jnp.zeros(tuple(art.header["input_specs"][0][0]), jnp.float32)
+        out = fn(img, img)
+        np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:1])  # fence (see fence())
+        dt = time.perf_counter() - t0
+        print(f"  load(artifact+ckpt): {t_load:.2f}s")
+        print(
+            f"mode=artifact: {dt:.2f}s to FIRST RESULT "
+            f"({len(art.param_paths)} param leaves, backend={jax.default_backend()})"
+        )
+        return
+
     if args.mode == "eager":
         from uniception_tpu.models.utils.config import fast_init
 
@@ -155,11 +206,22 @@ def main():
         jax.block_until_ready(jax.tree.leaves(state))
         fence(state)
         print(f"  construct(abstract): {t_construct:.2f}s  read-ckpt: {t_load:.2f}s")
+
+    what = "weights-on-device"
+    if args.first_result:
+        import numpy as np
+
+        t_w = time.perf_counter() - t0
+        img = jnp.zeros((args.batch, 3, *CFG["img_size"]), jnp.float32)
+        out = jax.jit(model.forward_pair)(img, img)
+        np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:1])  # fence (see fence())
+        print(f"  weights-on-device: {t_w:.2f}s  trace+compile+fwd: {time.perf_counter() - t0 - t_w:.2f}s")
+        what = "FIRST RESULT"
     dt = time.perf_counter() - t0
     n = sum(
         x.size for x in jax.tree.leaves(nnx.split(model)[1]) if hasattr(x, "size")
     )
-    print(f"mode={args.mode}: {dt:.2f}s to weights-on-device ({n/1e6:.0f}M params, backend={jax.default_backend()})")
+    print(f"mode={args.mode}: {dt:.2f}s to {what} ({n/1e6:.0f}M params, backend={jax.default_backend()})")
 
 
 if __name__ == "__main__":

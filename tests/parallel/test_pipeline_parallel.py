@@ -170,3 +170,53 @@ def test_pipeline_dp_rejects_indivisible_microbatch():
     x = jnp.zeros((4, 16, 32), jnp.float32)  # microbatch of 1 < data=4
     with pytest.raises(AssertionError):
         pipeline_blocks(stacked, x, mesh=mesh, data_axis="data", num_microbatches=4)
+
+
+def _mesh3(stages, data, model):
+    devs = np.asarray(jax.devices()[: stages * data * model]).reshape(stages, data, model)
+    return Mesh(devs, ("stage", "data", "model"))
+
+
+def test_pipeline_3d_pp_dp_tp_matches_scan():
+    """Full 3D pod layout on a ("stage","data","model") mesh: GPipe manual
+    over stage+data, TP as an auto/GSPMD axis inside each stage."""
+    stacked = _stacked(depth=8)
+    mesh = _mesh3(2, 2, 2)
+    ref = None
+    x = jnp.asarray(np.random.RandomState(7).randn(8, 16, 32).astype(np.float32))
+    ref = scan_blocks(stacked, x)
+
+    shard_stacked_state(stacked, mesh, model_axis="model")
+    # the TP specs really landed: qkv kernels are (depth, in, 3*dim) sharded P(stage, None, model)
+    from jax.sharding import PartitionSpec as P
+    qkv = nnx.state(stacked)["attn"]["qkv"]["kernel"].value
+    assert qkv.sharding.spec == P("stage", None, "model"), qkv.sharding.spec
+
+    out = pipeline_blocks(
+        stacked, x, mesh=mesh, data_axis="data", model_axis="model", num_microbatches=4
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_pipeline_pp_tp_gradients_match_scan():
+    "pp x tp (no dp) is training-capable through the partial-manual shard_map."
+    stacked = _stacked(depth=4, dim=32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("stage", "model"))
+    shard_stacked_state(stacked, mesh, model_axis="model")
+    graphdef, params, rest = nnx.split(stacked, nnx.Param, ...)
+    x = jnp.asarray(np.random.RandomState(8).randn(4, 8, 32).astype(np.float32))
+    cot = jnp.asarray(np.random.RandomState(9).randn(4, 8, 32).astype(np.float32))
+
+    def loss_scan(params, x):
+        m = nnx.merge(graphdef, params, rest)
+        return jnp.vdot(scan_blocks(m, x), cot)
+
+    def loss_pp(params, x):
+        m = nnx.merge(graphdef, params, rest)
+        return jnp.vdot(pipeline_blocks(m, x, mesh=mesh, model_axis="model", num_microbatches=4), cot)
+
+    ref = jax.grad(loss_scan)(params, x)
+    out = jax.grad(loss_pp)(params, x)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        if a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)

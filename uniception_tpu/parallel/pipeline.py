@@ -29,14 +29,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["pipeline_blocks", "shard_stacked_state"]
 
 
-def shard_stacked_state(stacked: nnx.Module, mesh: Mesh, stage_axis: str = "stage") -> None:
+def shard_stacked_state(
+    stacked: nnx.Module, mesh: Mesh, stage_axis: str = "stage", model_axis: Optional[str] = None
+) -> None:
     """Device-put the stacked block params sharded along depth over the
     stage axis (in place). Each stage then holds depth/S blocks in HBM —
-    the memory win that makes PP worth it for models deeper than a chip."""
-    spec = NamedSharding(mesh, P(stage_axis))
+    the memory win that makes PP worth it for models deeper than a chip.
+
+    model_axis: also apply the TP_RULES tensor-parallel specs within each
+        stage (pp x tp): a qkv kernel (depth, in, out) lands as
+        P(stage, None, model). Must be named "model" (the axis name the
+        TP_RULES PartitionSpecs carry)."""
+    from uniception_tpu.utils.pytree import keypath_str
+
+    if model_axis is not None:
+        assert model_axis == "model", "TP_RULES specs name the axis 'model'"
+        from uniception_tpu.parallel.mesh import leaf_tp_spec
+
     state = nnx.state(stacked)
-    state = jax.tree.map(lambda a: jax.device_put(a, spec), state)
-    nnx.update(stacked, state)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    leaves = []
+    for keypath, leaf in flat:
+        spec = P(stage_axis)
+        if model_axis is not None:
+            tp = leaf_tp_spec(keypath_str(keypath), leaf, mesh)
+            if len(tp) > 0:  # stacked leaves: leading depth axis -> stage
+                spec = P(stage_axis, *tp[1:])
+        leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    nnx.update(stacked, jax.tree_util.tree_unflatten(treedef, leaves))
 
 
 def pipeline_blocks(
@@ -46,6 +66,7 @@ def pipeline_blocks(
     mesh: Mesh,
     stage_axis: str = "stage",
     data_axis: Optional[str] = None,
+    model_axis: Optional[str] = None,
     num_microbatches: Optional[int] = None,
 ):
     """Run depth-stacked blocks (nn/scan.py layout) as a GPipe pipeline.
@@ -59,6 +80,16 @@ def pipeline_blocks(
         holding a dp-replica group. Params stay depth-sharded over
         ``stage_axis`` and replicated over ``data_axis``; the stage-to-stage
         ppermute and the final psum act per data coordinate.
+    model_axis: optional third mesh axis for pp x (dp x) tp — the full 3D
+        pod layout. The shard_map goes PARTIAL-MANUAL (``axis_names`` =
+        the stage/data axes only): ``model_axis`` stays an auto/GSPMD axis,
+        so inside each stage XLA partitions the block matmuls from the
+        params' TP shardings (apply them with
+        ``shard_stacked_state(..., model_axis="model")``) and inserts the
+        tensor-parallel all-reduces itself — the same mechanism as the
+        non-pipelined TP path (parallel/mesh.py), composed with the manual
+        pipeline schedule. Activations replicate over ``model_axis``
+        (Megatron-style).
     Semantics match ``scan_blocks(stacked, x, *broadcast_args)`` exactly;
     only the execution schedule differs.
     """
@@ -92,11 +123,18 @@ def pipeline_blocks(
     # (axis 1) over the data axis when composing pp x dp
     act_spec = P(None, data_axis) if data_axis is not None else P()
 
+    # pp x tp: manual over stage/data only; model_axis stays auto (GSPMD)
+    extra = {}
+    if model_axis is not None:
+        manual = {stage_axis} | ({data_axis} if data_axis is not None else set())
+        extra["axis_names"] = frozenset(manual)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(stage_axis), state), act_spec, act_spec),
         out_specs=act_spec,
+        **extra,
     )
     def run(local_state, xm, argsm):
         s_idx = jax.lax.axis_index(stage_axis)

@@ -50,6 +50,28 @@ def synthetic_dataset(n: int, img: int, seed: int = 0):
     }
 
 
+def synthetic_mixed_dataset(n: int, short: int, long: int, seed: int = 0):
+    """Mixed landscape/portrait pairs in the ManyAR canvas convention:
+    every sample lives in the (short, long) landscape canvas; portrait
+    samples (true_shape = (long, short)) are stored spatially transposed,
+    and the pointmap TARGETS use the same canvas layout — matching the
+    model's landscape_only output convention (see data/bucketing.py)."""
+    rng = np.random.RandomState(seed)
+    ts = np.where(
+        (rng.rand(n) < 0.5)[:, None],
+        np.tile([[short, long]], (n, 1)),
+        np.tile([[long, short]], (n, 1)),
+    ).astype(np.int32)
+    return {
+        "img1": rng.randint(0, 256, (n, short, long, 3), np.uint8),
+        "img2": rng.randint(0, 256, (n, short, long, 3), np.uint8),
+        "ts1": ts,
+        "ts2": ts,  # both views of a pair share the orientation (typical rig)
+        "pts1": rng.randn(n, short, long, 3).astype(np.float32),
+        "pts2": rng.randn(n, short, long, 3).astype(np.float32),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=32)
@@ -68,6 +90,12 @@ def main():
     ap.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
     ap.add_argument("--bf16", action="store_true", help="bf16 compute (fp32 params)")
     ap.add_argument("--mu-bf16", action="store_true", help="bf16 adamw first moment (halves its optimizer HBM traffic)")
+    ap.add_argument(
+        "--mixed-ar",
+        action="store_true",
+        help="train on mixed landscape/portrait ManyAR batches (landscape_only=True; "
+        "canvas --img x 1.5*--img; true_shapes ride in the batch pytree)",
+    )
     ap.add_argument(
         "--norm-loss",
         action="store_true",
@@ -90,9 +118,12 @@ def main():
         save_train_state,
     )
 
+    canvas = (args.img, args.img * 3 // 2) if args.mixed_ar else (args.img, args.img)
     model = DUSt3R(
         name="train_example",
-        img_size=(args.img, args.img),
+        img_size=canvas,
+        patch_embed_cls="ManyAR_PatchEmbed" if args.mixed_ar else "PatchEmbedDust3R",
+        landscape_only=args.mixed_ar,
         enc_embed_dim=args.embed_dim,
         enc_depth=args.depth,
         enc_num_heads=args.heads,
@@ -104,8 +135,17 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else None,
         rngs=nnx.Rngs(0),
     )
+    norm_mode = "avg_dis" if args.norm_loss else None
     loss_fn = None
-    if args.norm_loss:
+    if args.mixed_ar:
+        # true_shapes ride inside the "image" pytree slots — the step
+        # signature is unchanged (its img/target args are arbitrary pytrees)
+        def loss_fn(m, v1, v2, target1, target2):
+            res1, res2 = m.forward_pair(
+                v1["img"], v2["img"], true_shape1=v1["ts"], true_shape2=v2["ts"]
+            )
+            return dust3r_confidence_loss(res1, res2, target1, target2, norm_mode=norm_mode)
+    elif args.norm_loss:
         def loss_fn(m, img1, img2, target1, target2):
             res1, res2 = m.forward_pair(img1, img2)
             return dust3r_confidence_loss(res1, res2, target1, target2, norm_mode="avg_dis")
@@ -147,19 +187,22 @@ def main():
                 opt_state = replicate_state(opt_state, ctx.mesh)
         print(f"resumed from {args.ckpt_dir} at step {start_step}")
 
-    data = synthetic_dataset(args.dataset_size, args.img)
+    if args.mixed_ar:
+        data = synthetic_mixed_dataset(args.dataset_size, *canvas)
+    else:
+        data = synthetic_dataset(args.dataset_size, args.img)
     step_idx = start_step
     rng = np.random.RandomState(1234 + start_step)
 
     def batches():
         while True:
             for b in epoch_batches(data, args.batch, rng=rng):
-                yield {
-                    "img1": normalize_batch(b["img1"], "dust3r"),
-                    "img2": normalize_batch(b["img2"], "dust3r"),
-                    "pts1": b["pts1"],
-                    "pts2": b["pts2"],
-                }
+                img1 = normalize_batch(b["img1"], "dust3r")
+                img2 = normalize_batch(b["img2"], "dust3r")
+                if args.mixed_ar:
+                    img1 = {"img": img1, "ts": b["ts1"]}
+                    img2 = {"img": img2, "ts": b["ts2"]}
+                yield {"img1": img1, "img2": img2, "pts1": b["pts1"], "pts2": b["pts2"]}
 
     with ctx.mesh:
         t0 = time.perf_counter()

@@ -47,3 +47,10 @@ def test_train_example_runs_saves_and_resumes(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "at step 2" in out.stdout, out.stdout
     assert "step     4" in out.stdout, out.stdout
+
+
+def test_train_example_mixed_ar(tmp_path):
+    "Mixed landscape/portrait ManyAR training (landscape_only + true_shapes in the batch pytree)."
+    out = _run(tmp_path, "--mixed-ar", "--norm-loss")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "step " in out.stdout, out.stdout

@@ -101,6 +101,27 @@ def main():
         action="store_true",
         help="scale-invariant loss (DUSt3R norm_mode='avg_dis': preds and gt each normalized by their joint mean distance)",
     )
+    ap.add_argument("--clip-grad", type=float, default=None, help="global-norm gradient clipping")
+    ap.add_argument(
+        "--skip-nonfinite",
+        action="store_true",
+        help="skip (not apply) any step whose gradients contain NaN/Inf — params and moments stay untouched",
+    )
+    ap.add_argument(
+        "--warmup-cosine",
+        type=int,
+        default=0,
+        metavar="WARMUP_STEPS",
+        help="linear-warmup + cosine-decay LR schedule over --steps (peak --lr); 0 = constant LR",
+    )
+    ap.add_argument(
+        "--ema",
+        type=float,
+        default=0.0,
+        metavar="DECAY",
+        help="keep an exponential moving average of the params (e.g. 0.999); saved next to the checkpoint",
+    )
+    ap.add_argument("--metrics", action="store_true", help="log grad_norm each printed step")
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -150,16 +171,30 @@ def main():
             res1, res2 = m.forward_pair(img1, img2)
             return dust3r_confidence_loss(res1, res2, target1, target2, norm_mode="avg_dis")
 
+    if args.warmup_cosine > 0:
+        import optax
+
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=args.lr,
+            warmup_steps=args.warmup_cosine,
+            decay_steps=max(args.steps, args.warmup_cosine + 1),
+        )
+    else:
+        lr = args.lr
     ctx, params, opt_state = make_train_step(
         model,
         loss_fn=loss_fn,
-        learning_rate=args.lr,
+        learning_rate=lr,
         model_axis=args.tp,
         use_tp=args.tp > 1,
         grad_accum=args.grad_accum,
         zero1=args.zero1,
         fsdp=args.fsdp,
         mu_dtype=jnp.bfloat16 if args.mu_bf16 else None,
+        clip_grad_norm=args.clip_grad,
+        skip_nonfinite=args.skip_nonfinite,
+        metrics=args.metrics,
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1} fsdp={args.fsdp}")
@@ -204,20 +239,35 @@ def main():
                     img2 = {"img": img2, "ts": b["ts2"]}
                 yield {"img1": img1, "img2": img2, "pts1": b["pts1"], "pts2": b["pts2"]}
 
+    ema = None
+    if args.ema > 0:
+        from uniception_tpu.parallel.training import ema_init, ema_update
+
+        ema = ema_init(params)
+
     with ctx.mesh:
         t0 = time.perf_counter()
         for batch in prefetch_to_device(batches(), ctx.mesh):
-            loss, params, opt_state = ctx.step(
+            out = ctx.step(
                 params, opt_state, batch["img1"], batch["img2"], batch["pts1"], batch["pts2"]
             )
+            if args.metrics:
+                loss, aux, params, opt_state = out
+            else:
+                loss, params, opt_state = out
+            if ema is not None:
+                ema = ema_update(ema, params, args.ema)
             step_idx += 1
             if step_idx % max(1, args.steps // 10) == 0 or step_idx == start_step + 1:
-                print(f"step {step_idx:5d}  loss {float(loss):9.4f}  {(time.perf_counter() - t0):6.1f}s")
+                extra = f"  grad_norm {float(aux['grad_norm']):8.3f}" if args.metrics else ""
+                print(f"step {step_idx:5d}  loss {float(loss):9.4f}  {(time.perf_counter() - t0):6.1f}s{extra}")
             if step_idx >= start_step + args.steps:
                 break
 
     if args.ckpt_dir:
         save_train_state(os.path.abspath(args.ckpt_dir), params, opt_state, step=step_idx)
+        if ema is not None:
+            save_train_state(os.path.abspath(args.ckpt_dir) + "_ema", ema, step=step_idx)
         print(f"saved params+opt_state+step to {args.ckpt_dir} (resume with --resume)")
 
 

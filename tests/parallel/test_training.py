@@ -271,3 +271,125 @@ def test_normalized_loss_is_scale_invariant():
              np.linalg.norm(np.asarray(pts2[b]), axis=-1)[np.asarray(valid2[b])]]
         )
         np.testing.assert_allclose(float(s[b, 0, 0, 0]), db.mean(), rtol=1e-5)
+
+
+def test_clip_grad_norm_and_metrics():
+    """clip_grad_norm bounds the update's global norm exactly (proven with
+    SGD, where update = lr * clipped_grad); metrics=True reports the
+    UNCLIPPED global grad norm (same value with and without clipping)."""
+    import optax
+
+    lr, clip = 0.1, 1.0
+
+    def run(clip):
+        model = DUSt3R(name="clip_test", rngs=nnx.Rngs(0), **SMALL)
+        ctx, params, opt_state = make_train_step(
+            model, data=8, clip_grad_norm=clip, metrics=True, tx=optax.sgd(lr)
+        )
+        rng = np.random.RandomState(0)
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+        img1, img2 = mk(8, 3, 32, 32), mk(8, 3, 32, 32)
+        # huge targets -> huge gradients, so clipping visibly matters
+        t1, t2 = mk(8, 32, 32, 3) * 1e4, mk(8, 32, 32, 3) * 1e4
+        with ctx.mesh:
+            img1, img2, t1, t2 = shard_batch((img1, img2, t1, t2), ctx.mesh)
+            before = [np.asarray(x) for x in jax.tree.leaves(params)]
+            loss, aux, params, opt_state = ctx.step(params, opt_state, img1, img2, t1, t2)
+        update_norm = float(
+            np.sqrt(
+                sum(
+                    float(np.sum((np.asarray(a) - b) ** 2))
+                    for a, b in zip(jax.tree.leaves(params), before)
+                )
+            )
+        )
+        return float(aux["grad_norm"]), update_norm
+
+    gn_unclipped, un_unclipped = run(clip=None)
+    gn_clipped, un_clipped = run(clip=clip)
+    assert np.isfinite(gn_unclipped) and gn_unclipped > 10.0  # big grads by construction
+    # metric reports the raw gradient norm, not the clipped one
+    np.testing.assert_allclose(gn_clipped, gn_unclipped, rtol=1e-5)
+    # sgd: unclipped update norm = lr*gn; clipped = lr*clip exactly
+    np.testing.assert_allclose(un_unclipped, lr * gn_unclipped, rtol=1e-4)
+    np.testing.assert_allclose(un_clipped, lr * clip, rtol=1e-4)
+
+
+def test_skip_nonfinite_preserves_state_on_nan_batch():
+    """A NaN batch under skip_nonfinite leaves params bit-unchanged; the
+    next finite batch trains normally. Without the guard, one NaN batch
+    poisons the params forever."""
+    model = DUSt3R(name="nanguard_test", rngs=nnx.Rngs(0), **SMALL)
+    ctx, params, opt_state = make_train_step(
+        model, learning_rate=1e-3, data=8, skip_nonfinite=True
+    )
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    img1, img2, t1, t2 = mk(8, 3, 32, 32), mk(8, 3, 32, 32), mk(8, 32, 32, 3), mk(8, 32, 32, 3)
+    bad_t1 = t1.at[0, 0, 0, 0].set(jnp.nan)
+
+    with ctx.mesh:
+        img1, img2, t1, t2, bad_t1 = shard_batch((img1, img2, t1, t2, bad_t1), ctx.mesh)
+        before = [np.asarray(x) for x in jax.tree.leaves(params)]
+        loss_bad, params, opt_state = ctx.step(params, opt_state, img1, img2, bad_t1, t2)
+        after_bad = [np.asarray(x) for x in jax.tree.leaves(params)]
+        loss_ok, params, opt_state = ctx.step(params, opt_state, img1, img2, t1, t2)
+
+    assert not np.isfinite(float(loss_bad))  # the loss itself is NaN...
+    for a, b in zip(after_bad, before):  # ...but the params are untouched
+        np.testing.assert_array_equal(a, b)
+    assert np.isfinite(float(loss_ok))
+    changed = any(
+        float(np.max(np.abs(np.asarray(a) - b))) > 0
+        for a, b in zip(jax.tree.leaves(params), after_bad)
+    )
+    assert changed, "finite batch after a skipped one must update params"
+
+
+def test_ema_update_math_and_usage():
+    "EMA helper: exact math on a toy pytree, and in-loop usage over real steps."
+    from uniception_tpu.parallel.training import ema_init, ema_update
+
+    tree = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([[3.0]])}
+    ema = ema_init(tree)
+    new = {"a": jnp.asarray([2.0, 0.0]), "b": jnp.asarray([[5.0]])}
+    ema = ema_update(ema, new, 0.9)
+    np.testing.assert_allclose(np.asarray(ema["a"]), [1.0 * 0.9 + 2.0 * 0.1, 2.0 * 0.9], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema["b"]), [[3.0 * 0.9 + 5.0 * 0.1]], rtol=1e-6)
+
+    model = DUSt3R(name="ema_test", rngs=nnx.Rngs(0), **SMALL)
+    ctx, params, opt_state = make_train_step(model, learning_rate=1e-2, data=8)
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    img1, img2, t1, t2 = mk(8, 3, 32, 32), mk(8, 3, 32, 32), mk(8, 32, 32, 3), mk(8, 32, 32, 3)
+    expected = np.asarray(jax.tree.leaves(params)[0], np.float64)
+    with ctx.mesh:
+        img1, img2, t1, t2 = shard_batch((img1, img2, t1, t2), ctx.mesh)
+        ema = ema_init(params)
+        for _ in range(3):
+            _, params, opt_state = ctx.step(params, opt_state, img1, img2, t1, t2)
+            ema = ema_update(ema, params, 0.5)
+            # host-side recurrence on the first leaf (the oracle)
+            expected = expected * 0.5 + np.asarray(jax.tree.leaves(params)[0], np.float64) * 0.5
+    e = np.asarray(jax.tree.leaves(ema)[0])
+    np.testing.assert_allclose(e, expected.astype(np.float32), rtol=1e-5, atol=1e-7)
+
+
+def test_async_save_round_trips(tmp_path):
+    "save_train_state(wait=False) overlaps the write; contents match a blocking save."
+    from uniception_tpu.parallel.training import restore_train_state, save_train_state
+
+    model = DUSt3R(name="async_ckpt_test", rngs=nnx.Rngs(0), **SMALL)
+    ctx, params, opt_state = make_train_step(model, learning_rate=1e-3, data=8)
+    ckptr = save_train_state(str(tmp_path / "async"), params, opt_state, step=7, wait=False)
+    assert ckptr is not None
+    # training may continue here (donated steps are safe: Orbax snapshotted
+    # the arrays to host before returning)
+    ckptr.wait_until_finished()
+
+    model2 = DUSt3R(name="async_ckpt_test", rngs=nnx.Rngs(1), **SMALL)
+    ctx2, params2, opt_state2 = make_train_step(model2, learning_rate=1e-3, data=8)
+    params2, opt_state2, step = restore_train_state(str(tmp_path / "async"), params2, opt_state2)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

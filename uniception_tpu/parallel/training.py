@@ -34,6 +34,8 @@ __all__ = [
     "TrainContext",
     "save_train_state",
     "restore_train_state",
+    "ema_init",
+    "ema_update",
 ]
 
 
@@ -113,6 +115,9 @@ def make_train_step(
     fsdp: bool = False,
     mu_dtype=None,
     donate: bool = True,
+    clip_grad_norm: Optional[float] = None,
+    skip_nonfinite: bool = False,
+    metrics: bool = False,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[TrainContext, Any, Any]:
     """Build a dp(+tp) sharded train step for a DUSt3R-style model.
@@ -144,6 +149,23 @@ def make_train_step(
         buffering: measured 148.6 -> 126.3 ms/step at ViT-L 512 b2
         (BASELINE.md round 3). Set False only if you must reuse the input
         pytrees after a step.
+    clip_grad_norm: clip gradients to this global L2 norm before the
+        optimizer (``optax.clip_by_global_norm``). Applies to a
+        caller-provided ``tx`` too (chained in front of it).
+    skip_nonfinite: wrap the optimizer in ``optax.apply_if_finite`` — a
+        step whose gradients contain NaN/Inf leaves params and optimizer
+        moments untouched instead of poisoning them (production guard for
+        rare bad batches / bf16 overflow). Pass an int to set the
+        max-consecutive-skips budget (default 100); once exceeded the
+        nonfinite update is applied so the failure is visible rather than
+        an infinite silent spin. Under ``grad_accum`` the finiteness check
+        runs on the ACCUMULATED gradient, so one bad microbatch skips its
+        whole accumulation window.
+    metrics: the step additionally returns a metrics dict — signature
+        becomes ``step(...) -> (loss, metrics, params, opt_state)`` with
+        ``metrics = {"grad_norm": global L2 norm of the (unclipped)
+        gradients}``. Costs one fused reduction; off by default so the
+        bare-step signature is unchanged.
     """
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
@@ -154,6 +176,11 @@ def make_train_step(
             params = fsdp_shard_state(params, mesh)
         if tx is None:
             tx = optax.adamw(learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype)
+        if clip_grad_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+        if skip_nonfinite:
+            max_skips = skip_nonfinite if isinstance(skip_nonfinite, int) and not isinstance(skip_nonfinite, bool) else 100
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=max_skips)
         if grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
         opt_state = tx.init(params)
@@ -195,6 +222,7 @@ def make_train_step(
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, img1, img2, target1, target2):
         loss, grads = jax.value_and_grad(compute_loss)(params, img1, img2, target1, target2)
+        aux = {"grad_norm": optax.global_norm(grads)} if metrics else None
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if param_shardings is not None:
@@ -209,18 +237,47 @@ def make_train_step(
                 opt_state,
                 opt_shardings,
             )
+        if metrics:
+            return loss, aux, params, opt_state
         return loss, params, opt_state
 
     return TrainContext(graphdef, rest, mesh, tx, step), params, opt_state
 
 
-def save_train_state(path: str, params, opt_state=None, step: int = 0):
+def ema_init(params):
+    "Fresh EMA state = a copy of the params (same shardings)."
+    return jax.tree.map(lambda x: x + 0, params)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def ema_update(ema, params, decay: float = 0.999):
+    """One exponential-moving-average step: ``ema = decay*ema + (1-decay)*p``.
+
+    The serving-quality weight average used by most large vision trainings
+    (the reference ships no trainer — SURVEY.md §0). Donates the old EMA
+    buffers, so per-step cost is one fused HBM-bound pass; call it on the
+    params returned by the train step and checkpoint the EMA pytree like
+    any other state (``save_train_state(..., opt_state=ema)`` or a second
+    checkpoint path).
+    """
+    return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params)
+
+
+def save_train_state(path: str, params, opt_state=None, step: int = 0, wait: bool = True):
     """Save the full training state (params + optimizer state + step) with Orbax.
 
     The pytrees are stored as flat leaf lists so arbitrary optimizer-state
     structures (optax NamedTuples wrapping nnx.State) round-trip without
     Orbax needing to understand them; :func:`restore_train_state` rebuilds
     the structures from templates.
+
+    wait=False makes the save asynchronous: Orbax snapshots the arrays
+    (device→host copy) before returning and writes to disk in a background
+    thread, so training can keep stepping while the checkpoint lands —
+    donated steps are safe because the old param buffers were already
+    copied. Returns the checkpointer; call ``.wait_until_finished()``
+    (or issue the next save, which barriers on the previous one) before
+    reading the checkpoint or exiting.
     """
     import orbax.checkpoint as ocp
 
@@ -231,7 +288,10 @@ def save_train_state(path: str, params, opt_state=None, step: int = 0):
         "step": jnp.asarray(step, jnp.int32),
     }
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
+        return None
+    return ckptr
 
 
 def restore_train_state(path: str, params_template, opt_state_template=None):

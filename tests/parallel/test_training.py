@@ -393,3 +393,83 @@ def test_async_save_round_trips(tmp_path):
     assert step == 7
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiview_loss_matches_pairwise_and_is_scale_invariant():
+    """multiview_confidence_loss == dust3r_confidence_loss at N=2, and the
+    N-view avg_dis normalization is scale-invariant at N=4."""
+    from uniception_tpu.parallel.training import (
+        dust3r_confidence_loss,
+        multiview_confidence_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 8, 8
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    pts = [mk(B, H, W, 3) for _ in range(4)]
+    confs = [jnp.asarray(1.0 + rng.rand(B, H, W, 1).astype(np.float32)) for _ in range(4)]
+    tgts = [mk(B, H, W, 3) for _ in range(4)]
+    valids = [jnp.asarray(rng.rand(B, H, W) > 0.3) for _ in range(4)]
+    results = [{"pts3d": p, "conf": c} for p, c in zip(pts, confs)]
+
+    # N=2 equivalence with the pairwise loss (no norm and avg_dis)
+    r1 = {"pts3d": pts[0], "conf": confs[0]}
+    r2 = {"pts3d_in_other_view": pts[1], "conf": confs[1]}
+    for nm in (None, "avg_dis"):
+        pair = dust3r_confidence_loss(
+            r1, r2, tgts[0], tgts[1], valid1=valids[0], valid2=valids[1], norm_mode=nm
+        )
+        multi = multiview_confidence_loss(
+            results[:2], tgts[:2], valids=valids[:2], norm_mode=nm
+        )
+        np.testing.assert_allclose(float(multi), float(pair), rtol=1e-6)
+
+    # N=4 scale invariance of avg_dis
+    base = multiview_confidence_loss(results, tgts, valids=valids, norm_mode="avg_dis")
+    scaled_results = [{"pts3d": p * 9.1, "conf": c} for p, c in zip(pts, confs)]
+    scaled = multiview_confidence_loss(
+        scaled_results, [t * 0.07 for t in tgts], valids=valids, norm_mode="avg_dis"
+    )
+    np.testing.assert_allclose(float(base), float(scaled), rtol=1e-5)
+
+
+@pytest.mark.parametrize("attention_type", ["global", "alternating"])
+def test_multiview_training_step_decreases_loss(attention_type):
+    """The train-step factory is not DUSt3R-pair-specific: an N-view
+    VGGT-style model (factory/multiview.py) trains through it by packing
+    the views/targets lists into the step's pytree slots."""
+    from uniception_tpu.models.factory.multiview import MultiViewPointmapModel
+    from uniception_tpu.parallel.training import multiview_confidence_loss
+
+    V = 3
+    model = MultiViewPointmapModel(
+        name="mv_train",
+        num_views=V,
+        img_size=(32, 32),
+        attention_type=attention_type,
+        enc_embed_dim=64,
+        enc_depth=2,
+        enc_num_heads=4,
+        info_sharing_dim=64,
+        info_sharing_depth=2,
+        info_sharing_num_heads=4,
+        rngs=nnx.Rngs(0),
+    )
+
+    def loss_fn(m, views, _unused1, targets, _unused2):
+        return multiview_confidence_loss(m(views), targets, norm_mode="avg_dis")
+
+    ctx, params, opt_state = make_train_step(model, loss_fn=loss_fn, learning_rate=1e-3, data=8)
+    rng = np.random.RandomState(0)
+    views = [jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32)) for _ in range(V)]
+    targets = [jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32)) for _ in range(V)]
+
+    with ctx.mesh:
+        views, targets = shard_batch((views, targets), ctx.mesh)
+        losses = []
+        for _ in range(5):
+            loss, params, opt_state = ctx.step(params, opt_state, views, (), targets, ())
+            losses.append(float(loss))
+
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"

@@ -29,7 +29,9 @@ from uniception_tpu.parallel.mesh import (
 
 __all__ = [
     "dust3r_confidence_loss",
+    "multiview_confidence_loss",
     "normalize_pointmaps",
+    "normalize_pointmaps_nview",
     "make_train_step",
     "TrainContext",
     "save_train_state",
@@ -37,6 +39,25 @@ __all__ = [
     "ema_init",
     "ema_update",
 ]
+
+
+def normalize_pointmaps_nview(pts, valids=None, eps=1e-8):
+    """Joint avg-distance normalization over N views (the N-view
+    generalization of DUSt3R's ``norm_mode='avg_dis'``): divide every view
+    by the per-batch-element mean distance-to-origin over (valid) pixels of
+    ALL views. Pure reductions — static shapes, jit/pjit-safe.
+
+    pts: list of (B, H, W, 3). Returns (list of pts/s, s) with s (B,1,1,1).
+    """
+    num = 0.0
+    den = 0.0
+    for i, p in enumerate(pts):
+        d = jnp.linalg.norm(p, axis=-1)
+        v = jnp.ones_like(d) if valids is None or valids[i] is None else valids[i].astype(d.dtype)
+        num = num + jnp.sum(d * v, axis=(1, 2))
+        den = den + jnp.sum(v, axis=(1, 2))
+    scale = jnp.maximum(num / jnp.maximum(den, 1.0), eps)[:, None, None, None]
+    return [p / scale for p in pts], scale
 
 
 def normalize_pointmaps(p1, p2, valid1=None, valid2=None, eps=1e-8):
@@ -47,14 +68,8 @@ def normalize_pointmaps(p1, p2, valid1=None, valid2=None, eps=1e-8):
 
     p1, p2: (B, H, W, 3). Returns (p1/s, p2/s, s) with s (B, 1, 1, 1).
     """
-    d1 = jnp.linalg.norm(p1, axis=-1)
-    d2 = jnp.linalg.norm(p2, axis=-1)
-    v1 = jnp.ones_like(d1) if valid1 is None else valid1.astype(d1.dtype)
-    v2 = jnp.ones_like(d2) if valid2 is None else valid2.astype(d2.dtype)
-    num = jnp.sum(d1 * v1, axis=(1, 2)) + jnp.sum(d2 * v2, axis=(1, 2))
-    den = jnp.sum(v1, axis=(1, 2)) + jnp.sum(v2, axis=(1, 2))
-    scale = jnp.maximum(num / jnp.maximum(den, 1.0), eps)[:, None, None, None]
-    return p1 / scale, p2 / scale, scale
+    (n1, n2), scale = normalize_pointmaps_nview([p1, p2], [valid1, valid2], eps=eps)
+    return n1, n2, scale
 
 
 def dust3r_confidence_loss(
@@ -89,6 +104,38 @@ def dust3r_confidence_loss(
         return jnp.mean(per_px)
 
     return view_loss(res1, pts1, target1, valid1) + view_loss(res2, pts2, target2, valid2)
+
+
+def multiview_confidence_loss(results, targets, alpha: float = 0.2, valids=None, norm_mode: Optional[str] = None):
+    """N-view confidence-weighted pointmap loss (VGGT-style training over
+    ``factory/multiview.py`` outputs) — the N-view generalization of
+    :func:`dust3r_confidence_loss` (summed over views, matching its 2-view
+    semantics).
+
+    results: list of per-view dicts with ``pts3d`` (B,H,W,3) and ``conf``
+    (B,H,W,1); targets: list of (B,H,W,3); valids: optional list of
+    (B,H,W) masks. ``norm_mode="avg_dis"``: predictions and ground truth
+    are each normalized by their own joint ALL-views mean distance.
+    """
+    pts = [r["pts3d"] for r in results]
+    if norm_mode is not None:
+        if norm_mode != "avg_dis":
+            raise ValueError(f"unknown norm_mode: {norm_mode!r} (supported: 'avg_dis')")
+        pts, _ = normalize_pointmaps_nview(pts, valids)
+        targets, _ = normalize_pointmaps_nview(list(targets), valids)
+
+    total = 0.0
+    for i, r in enumerate(results):
+        conf = r["conf"][..., 0]
+        err = jnp.linalg.norm(pts[i] - targets[i], axis=-1)
+        per_px = conf * err - alpha * jnp.log(conf)
+        valid = None if valids is None else valids[i]
+        if valid is not None:
+            per_px = jnp.where(valid, per_px, 0.0)
+            total = total + jnp.sum(per_px) / jnp.maximum(jnp.sum(valid), 1)
+        else:
+            total = total + jnp.mean(per_px)
+    return total
 
 
 class TrainContext:

@@ -130,7 +130,7 @@ def main():
     import jax.numpy as jnp
     from flax import nnx
 
-    from uniception_tpu.data.pipeline import epoch_batches, normalize_batch, prefetch_to_device
+    from uniception_tpu.data.pipeline import DeterministicSampler, normalize_batch, prefetch_to_device
     from uniception_tpu.models.factory.dust3r import DUSt3R
     from uniception_tpu.parallel.training import (
         dust3r_confidence_loss,
@@ -227,17 +227,18 @@ def main():
     else:
         data = synthetic_dataset(args.dataset_size, args.img)
     step_idx = start_step
-    rng = np.random.RandomState(1234 + start_step)
+    # step-indexed sampler: the resumed run sees EXACTLY the batches the
+    # uninterrupted run would have (data-stream half of bit-exact resume)
+    sampler = DeterministicSampler(data, args.batch, seed=1234, start_step=start_step)
 
     def batches():
-        while True:
-            for b in epoch_batches(data, args.batch, rng=rng):
-                img1 = normalize_batch(b["img1"], "dust3r")
-                img2 = normalize_batch(b["img2"], "dust3r")
-                if args.mixed_ar:
-                    img1 = {"img": img1, "ts": b["ts1"]}
-                    img2 = {"img": img2, "ts": b["ts2"]}
-                yield {"img1": img1, "img2": img2, "pts1": b["pts1"], "pts2": b["pts2"]}
+        for b in sampler:
+            img1 = normalize_batch(b["img1"], "dust3r")
+            img2 = normalize_batch(b["img2"], "dust3r")
+            if args.mixed_ar:
+                img1 = {"img": img1, "ts": b["ts1"]}
+                img2 = {"img": img2, "ts": b["ts2"]}
+            yield {"img1": img1, "img2": img2, "pts1": b["pts1"], "pts2": b["pts2"]}
 
     ema = None
     if args.ema > 0:

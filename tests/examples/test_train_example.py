@@ -48,6 +48,24 @@ def test_train_example_runs_saves_and_resumes(tmp_path):
     assert "at step 2" in out.stdout, out.stdout
     assert "step     4" in out.stdout, out.stdout
 
+    def loss_at(stdout, step):
+        for line in stdout.splitlines():
+            parts = line.split()
+            if parts[:2] == ["step", str(step)]:
+                return float(parts[3])
+        raise AssertionError(f"no step {step} in:\n{stdout}")
+
+    resumed_loss = loss_at(out.stdout, 4)
+
+    # uninterrupted oracle: interrupted+resumed training must equal a
+    # straight 4-step run — params/opt state round-trip through Orbax AND
+    # the DeterministicSampler replays the identical batch stream
+    out = _run(tmp_path / "uninterrupted", "--steps", "4")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert abs(loss_at(out.stdout, 4) - resumed_loss) < 1e-5, (
+        f"resumed step-4 loss {resumed_loss} != uninterrupted {loss_at(out.stdout, 4)}"
+    )
+
 
 def test_train_example_mixed_ar(tmp_path):
     "Mixed landscape/portrait ManyAR training (landscape_only + true_shapes in the batch pytree)."

@@ -80,3 +80,31 @@ def test_native_preprocess_speed():
     numpy_t = time.perf_counter() - t0
     print(f"native {native_t*200:.1f}ms/batch numpy {numpy_t*200:.1f}ms/batch")
     assert native_t < numpy_t * 1.5
+
+
+def test_deterministic_sampler_resumes_exactly():
+    """DeterministicSampler: batch k is a pure function of (seed, k) — a
+    sampler restarted at step k replays the uninterrupted stream exactly,
+    across epoch boundaries; different epochs reshuffle; different seeds
+    differ."""
+    import itertools
+
+    from uniception_tpu.data.pipeline import DeterministicSampler
+
+    data = {"x": np.arange(20 * 3).reshape(20, 3), "y": np.arange(20)}
+    mk = lambda start: DeterministicSampler(data, 4, seed=7, start_step=start)
+    full = list(itertools.islice(iter(mk(0)), 12))  # 12 steps = 2.4 epochs (5 bpe)
+
+    resumed = list(itertools.islice(iter(mk(6)), 6))  # restart mid-epoch-1
+    for a, b in zip(full[6:], resumed):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["y"], b["y"])
+
+    # epochs reshuffle (first batch of epoch 0 vs epoch 1 differ)
+    assert not np.array_equal(full[0]["y"], full[5]["y"])
+    # every epoch is a permutation: epoch 1's batches cover 20 of the ids
+    epoch1 = np.concatenate([b["y"] for b in full[5:10]])
+    np.testing.assert_array_equal(np.sort(epoch1), np.arange(20))
+    # a different seed gives a different stream
+    other = next(iter(DeterministicSampler(data, 4, seed=8)))
+    assert not np.array_equal(other["y"], full[0]["y"])

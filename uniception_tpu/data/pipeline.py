@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uniception_tpu.models.encoders.image_normalizations import normalize_image
 
-__all__ = ["prefetch_to_device", "normalize_batch", "epoch_batches"]
+__all__ = ["prefetch_to_device", "normalize_batch", "epoch_batches", "DeterministicSampler"]
 
 
 def prefetch_to_device(
@@ -104,3 +104,53 @@ def epoch_batches(arrays, batch_size: int, *, rng: Optional[np.random.RandomStat
     for i in range(0, end, batch_size):
         idx = order[i : i + batch_size]
         yield jax.tree.map(lambda a: a[idx], arrays)
+
+
+class DeterministicSampler:
+    """Step-indexed resumable batch sampler: the k-th batch of a run is a
+    pure function of (seed, epoch-shuffle, k), so a run resumed at step k
+    sees exactly the batches the uninterrupted run would have seen — the
+    missing half of bit-exact resume (params/optimizer state round-trip via
+    ``save_train_state``; THIS makes the data stream round-trip too, by
+    persisting only an integer). Per-epoch shuffles derive from
+    ``SeedSequence([seed, epoch])`` — stable across processes/platforms.
+
+    Usage::
+
+        sampler = DeterministicSampler(data, batch, seed=0, start_step=resumed_step)
+        for batch in prefetch_to_device(sampler, mesh):  # infinite
+            ...
+            # checkpoint: save_train_state(..., step=<train step counter>)
+            # — on resume, pass it back as start_step. Persist the number
+            # of CONSUMED batches (the train-step counter), NOT
+            # sampler.step: under prefetch_to_device the sampler runs
+            # buffer_size batches ahead of consumption.
+    """
+
+    def __init__(self, arrays, batch_size: int, *, seed: int = 0, start_step: int = 0):
+        self.arrays = arrays
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
+        self.step = int(start_step)
+        self._n = len(jax.tree.leaves(arrays)[0])
+        self.batches_per_epoch = self._n // self.batch_size
+        if self.batches_per_epoch == 0:
+            raise ValueError(f"dataset ({self._n}) smaller than batch_size ({batch_size})")
+        self._epoch = None
+        self._order = None
+
+    def batch_at(self, step: int):
+        "The batch the sampler yields at a given global step (pure function)."
+        epoch, pos = divmod(step, self.batches_per_epoch)
+        if self._epoch != epoch:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            self._order = rng.permutation(self._n)
+            self._epoch = epoch
+        idx = self._order[pos * self.batch_size : (pos + 1) * self.batch_size]
+        return jax.tree.map(lambda a: a[idx], self.arrays)
+
+    def __iter__(self):
+        while True:
+            b = self.batch_at(self.step)
+            self.step += 1
+            yield b

@@ -124,6 +124,19 @@ def main():
     ap.add_argument("--metrics", action="store_true", help="log grad_norm each printed step")
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--preempt-safe",
+        action="store_true",
+        help="handle SIGTERM/SIGINT (TPU maintenance/spot preemption) by checkpointing "
+        "at the next step boundary and exiting 0; resume with --resume (requires --ckpt-dir)",
+    )
+    ap.add_argument(
+        "--ckpt-every",
+        type=int,
+        default=0,
+        metavar="N",
+        help="async-checkpoint every N steps (crash safety; the save overlaps training)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -133,11 +146,17 @@ def main():
     from uniception_tpu.data.pipeline import DeterministicSampler, normalize_batch, prefetch_to_device
     from uniception_tpu.models.factory.dust3r import DUSt3R
     from uniception_tpu.parallel.training import (
+        PreemptionGuard,
         dust3r_confidence_loss,
         make_train_step,
         restore_train_state,
         save_train_state,
     )
+
+    if args.preempt_safe and not args.ckpt_dir:
+        ap.error("--preempt-safe requires --ckpt-dir (there is nowhere to save on SIGTERM)")
+    if args.ckpt_every and not args.ckpt_dir:
+        ap.error("--ckpt-every requires --ckpt-dir")
 
     canvas = (args.img, args.img * 3 // 2) if args.mixed_ar else (args.img, args.img)
     model = DUSt3R(
@@ -246,6 +265,16 @@ def main():
 
         ema = ema_init(params)
 
+    guard = PreemptionGuard() if args.preempt_safe else None
+    pending = None  # in-flight async checkpointer (barrier before the next save / exit)
+
+    def checkpoint(wait: bool):
+        nonlocal pending
+        if pending is not None:
+            pending.wait_until_finished()
+        pending = save_train_state(os.path.abspath(args.ckpt_dir), params, opt_state, step=step_idx, wait=wait)
+
+    preempted = False
     with ctx.mesh:
         t0 = time.perf_counter()
         for batch in prefetch_to_device(batches(), ctx.mesh):
@@ -261,12 +290,25 @@ def main():
             step_idx += 1
             if step_idx % max(1, args.steps // 10) == 0 or step_idx == start_step + 1:
                 extra = f"  grad_norm {float(aux['grad_norm']):8.3f}" if args.metrics else ""
-                print(f"step {step_idx:5d}  loss {float(loss):9.4f}  {(time.perf_counter() - t0):6.1f}s{extra}")
+                print(
+                    f"step {step_idx:5d}  loss {float(loss):9.4f}  {(time.perf_counter() - t0):6.1f}s{extra}",
+                    flush=True,
+                )
+            if guard is not None and guard.should_stop():
+                # finish-the-step-then-save: params/opt_state here are the
+                # post-update buffers, so the resumed run continues exactly
+                # where the uninterrupted one would be at step_idx
+                checkpoint(wait=True)
+                print(f"preempted: saved at step {step_idx}; resume with --resume", flush=True)
+                preempted = True
+                break
             if step_idx >= start_step + args.steps:
                 break
+            if args.ckpt_every and (step_idx - start_step) % args.ckpt_every == 0:
+                checkpoint(wait=False)
 
-    if args.ckpt_dir:
-        save_train_state(os.path.abspath(args.ckpt_dir), params, opt_state, step=step_idx)
+    if args.ckpt_dir and not preempted:
+        checkpoint(wait=True)
         if ema is not None:
             save_train_state(os.path.abspath(args.ckpt_dir) + "_ema", ema, step=step_idx)
         print(f"saved params+opt_state+step to {args.ckpt_dir} (resume with --resume)")

@@ -38,6 +38,7 @@ __all__ = [
     "restore_train_state",
     "ema_init",
     "ema_update",
+    "PreemptionGuard",
 ]
 
 
@@ -308,6 +309,77 @@ def ema_update(ema, params, decay: float = 0.999):
     checkpoint path).
     """
     return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params)
+
+
+class PreemptionGuard:
+    """Signal-driven graceful shutdown for TPU-pod preemptions.
+
+    TPU maintenance events and spot reclaims deliver SIGTERM with a grace
+    window; a production trainer must finish the in-flight step, checkpoint,
+    and exit — not die mid-optimizer-update. (The reference ships no trainer
+    at all, SURVEY.md §0; this is part of the training layer the rebuild
+    adds.)
+
+    The handler only sets a flag — no work happens in signal context. Poll
+    :meth:`should_stop` at step boundaries; combined with
+    ``save_train_state`` + the step-indexed ``DeterministicSampler``, a
+    preempted-and-resumed run is bit-identical to an uninterrupted one
+    (proven in ``tests/examples/test_train_example.py``).
+
+    Multi-host: a preemption SIGTERM may reach only some processes (or reach
+    them at different step boundaries). When ``jax.process_count() > 1``,
+    ``should_stop`` ORs the flag across processes with a host allgather so
+    every process checkpoints at the SAME step — a divergent stop would
+    deadlock the collective-issuing processes against the exiting one. The
+    sync costs one tiny DCN collective per call; poll every step (it is
+    microseconds against a real step) or amortize with ``sync_every``.
+    """
+
+    def __init__(self, signals=None, sync_every: int = 1):
+        import signal as _signal
+
+        self._signal = _signal
+        self._requested = False
+        self._prev = {}
+        self._sync_every = max(1, int(sync_every))
+        self._calls = 0
+        self._synced_stop = False
+        for s in signals if signals is not None else (_signal.SIGTERM, _signal.SIGINT):
+            self._prev[s] = _signal.signal(s, self._handler)
+
+    def _handler(self, signum, frame):
+        self._requested = True
+
+    @property
+    def requested(self) -> bool:
+        "This process's local flag (no cross-process sync)."
+        return self._requested
+
+    def should_stop(self) -> bool:
+        "True once any participating process has received a stop signal."
+        if self._synced_stop:
+            return True
+        if jax.process_count() == 1:
+            return self._requested
+        # participation in the allgather must be decided by the call counter
+        # ALONE (identical on every process) — gating it on the local flag
+        # would have a signaled process join a collective the others skip,
+        # which deadlocks; a locally-signaled process therefore waits for
+        # the next sync boundary like everyone else
+        self._calls += 1
+        if self._calls % self._sync_every:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(jnp.asarray(self._requested))
+        self._synced_stop = bool(flags.any())
+        return self._synced_stop
+
+    def close(self):
+        "Restore the previously-installed signal handlers."
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev = {}
 
 
 def save_train_state(path: str, params, opt_state=None, step: int = 0, wait: bool = True):

@@ -16,11 +16,20 @@ Static shapes only: one canvas size per batch (bucket mixed sizes into
 separate batches before calling pack_views).
 """
 
-from typing import List, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["pack_views", "extract_view", "extract_views"]
+__all__ = [
+    "pack_views",
+    "extract_view",
+    "extract_views",
+    "DUST3R_512_BUCKETS",
+    "DUST3R_224_BUCKETS",
+    "assign_bucket",
+    "resize_to_bucket",
+    "BucketedBatcher",
+]
 
 
 def pack_views(images: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
@@ -70,3 +79,122 @@ def extract_view(x: np.ndarray, true_shape: np.ndarray) -> np.ndarray:
 def extract_views(batch: np.ndarray, true_shapes: np.ndarray) -> List[np.ndarray]:
     """Vector form: one native-orientation array per batch row."""
     return [extract_view(batch[i], true_shapes[i]) for i in range(len(batch))]
+
+
+# ---------------------------------------------------------------------------
+# Size bucketing — arbitrary input resolutions on a static-shape compiler.
+#
+# The reference accepts any H, W divisible by the patch size (SURVEY.md
+# "hard parts": torch re-specializes per shape; XLA would recompile). The
+# TPU-native strategy: a small fixed set of landscape canvases ("buckets"),
+# each compiled ONCE; every incoming image is aspect-matched to the nearest
+# bucket, resized + center-cropped into it, and portrait images additionally
+# ride the ManyAR transpose (landscape_only models recover native
+# orientation via true_shape + extract_view). The 512 bucket set below is
+# the published DUSt3R-512 training resolution family, so converted
+# checkpoints see exactly the shapes they were trained on.
+# ---------------------------------------------------------------------------
+
+# (h, w) landscape canvases, all multiples of 16
+DUST3R_512_BUCKETS: Tuple[Tuple[int, int], ...] = ((384, 512), (336, 512), (288, 512), (256, 512), (160, 512))
+DUST3R_224_BUCKETS: Tuple[Tuple[int, int], ...] = ((224, 224),)
+
+
+def assign_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS) -> Tuple[int, bool]:
+    """Pick the bucket whose aspect ratio best matches an (h, w) image.
+
+    Orientation-normalized: a portrait image (h > w) is matched against the
+    landscape buckets transposed and flagged for the ManyAR canvas.
+
+    Returns (bucket_index, is_portrait). Matching minimizes
+    |log(bucket_ar) - log(image_ar)| — symmetric in over/under-wide.
+    """
+    if h <= 0 or w <= 0:
+        raise ValueError(f"bad image size ({h}, {w})")
+    portrait = h > w
+    ar = (w / h) if not portrait else (h / w)
+    best, best_err = 0, float("inf")
+    for i, (bh, bw) in enumerate(buckets):
+        if bh > bw:
+            raise ValueError(f"bucket {i} {(bh, bw)} is not a landscape canvas (h <= w)")
+        err = abs(np.log(bw / bh) - np.log(ar))
+        if err < best_err:
+            best, best_err = i, err
+    return best, portrait
+
+
+def resize_to_bucket(
+    image: np.ndarray, bucket_hw: Tuple[int, int], portrait: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Aspect-preserving resize + center-crop of one HWC uint8 image into a
+    landscape canvas (the DUSt3R preprocessing recipe: scale so the canvas
+    fits inside the scaled image, then crop the center).
+
+    portrait images are resized in their native orientation and then
+    TRANSPOSED into the canvas (ManyAR convention).
+
+    Returns (canvas (bh, bw, C) uint8, true_shape (2,) int32) where
+    true_shape is (bh, bw) for landscape and (bw, bh) for portrait.
+    """
+    from PIL import Image
+
+    if image.ndim != 3:
+        raise ValueError(f"expected HWC image, got shape {image.shape}")
+    bh, bw = bucket_hw
+    th, tw = (bw, bh) if portrait else (bh, bw)  # target in native orientation
+    H, W = image.shape[:2]
+    scale = max(th / H, tw / W)
+    rh, rw = max(th, int(round(H * scale))), max(tw, int(round(W * scale)))
+    im = Image.fromarray(np.ascontiguousarray(image.astype(np.uint8)))
+    im = im.resize((rw, rh), Image.BICUBIC)
+    arr = np.asarray(im)
+    y0, x0 = (rh - th) // 2, (rw - tw) // 2
+    arr = arr[y0 : y0 + th, x0 : x0 + tw]
+    if portrait:
+        arr = np.swapaxes(arr, 0, 1)
+    return arr, np.asarray((th, tw), np.int32)
+
+
+class BucketedBatcher:
+    """Streaming grouper: arbitrary-size images -> fixed-shape batches.
+
+    add() assigns each image to its aspect bucket, resizes it into the
+    bucket canvas, and buffers; a full batch is yielded as
+    ``(bucket_hw, canvas (B, bh, bw, 3) uint8, true_shape (B, 2), keys)``.
+    flush() drains the remainders, padded to the batch size by repeating the
+    last sample (``n_valid`` in the key list tells the caller how many rows
+    are real) — padding keeps every served shape static so each bucket
+    compiles exactly once.
+    """
+
+    def __init__(self, batch_size: int, buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.batch_size = batch_size
+        self.buckets = [tuple(b) for b in buckets]
+        self._pending: Dict[int, List[Tuple[np.ndarray, np.ndarray, object]]] = {}
+
+    def add(self, image: np.ndarray, key: object = None) -> Iterator[tuple]:
+        "Buffer one HWC image; yields any batch this fill completes."
+        idx, portrait = assign_bucket(image.shape[0], image.shape[1], self.buckets)
+        canvas, ts = resize_to_bucket(image, self.buckets[idx], portrait)
+        self._pending.setdefault(idx, []).append((canvas, ts, key))
+        if len(self._pending[idx]) >= self.batch_size:
+            yield self._emit(idx, self._pending.pop(idx), n_valid=self.batch_size)
+
+    def flush(self) -> Iterator[tuple]:
+        "Drain partial batches, padding each to batch_size (see n_valid)."
+        for idx in sorted(self._pending):
+            rows = self._pending.pop(idx)
+            n_valid = len(rows)
+            rows = rows + [rows[-1]] * (self.batch_size - n_valid)
+            yield self._emit(idx, rows, n_valid=n_valid)
+
+    def _emit(self, idx, rows, n_valid):
+        canvases, tss, keys = zip(*rows)
+        return (
+            self.buckets[idx],
+            np.stack(canvases),
+            np.stack(tss),
+            {"keys": list(keys), "n_valid": n_valid},
+        )

@@ -122,6 +122,12 @@ def main():
         help="keep an exponential moving average of the params (e.g. 0.999); saved next to the checkpoint",
     )
     ap.add_argument("--metrics", action="store_true", help="log grad_norm each printed step")
+    ap.add_argument(
+        "--freeze-encoder",
+        action="store_true",
+        help="freeze the pretrained encoder; train info-sharing + heads only "
+        "(the standard UniCeption finetune recipe — skips encoder wgrads and moments)",
+    )
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
@@ -214,6 +220,7 @@ def main():
         clip_grad_norm=args.clip_grad,
         skip_nonfinite=args.skip_nonfinite,
         metrics=args.metrics,
+        trainable=(lambda p: not p.startswith("encoder.")) if args.freeze_encoder else None,
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1} fsdp={args.fsdp}")

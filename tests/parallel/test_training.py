@@ -473,3 +473,60 @@ def test_multiview_training_step_decreases_loss(attention_type):
 
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_trainable_freezes_encoder_and_matches_unfrozen_updates():
+    """trainable= predicate: frozen leaves bit-identical across steps, no
+    moments allocated for them, and the FIRST step's trainable-leaf values
+    bit-match an unfrozen run's (per-leaf adamw; stop_gradient only cuts
+    the leaves' own wgrads, not the activation gradient chain — later
+    steps diverge because the unfrozen run keeps moving the encoder)."""
+    from uniception_tpu.utils.pytree import state_paths
+
+    rng = np.random.RandomState(1)
+    batch = 8
+    img1 = jnp.asarray(rng.randn(batch, 3, 32, 32).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(batch, 3, 32, 32).astype(np.float32))
+    t1 = jnp.asarray(rng.randn(batch, 32, 32, 3).astype(np.float32))
+    t2 = jnp.asarray(rng.randn(batch, 32, 32, 3).astype(np.float32))
+
+    def run(trainable, steps):
+        model = DUSt3R(name="freeze_test", rngs=nnx.Rngs(0), **SMALL)
+        ctx, params, opt_state = make_train_step(
+            model, learning_rate=1e-3, data=8, trainable=trainable
+        )
+        init = jax.tree.map(lambda x: np.asarray(x), params)
+        snaps = []
+        with ctx.mesh:
+            a, b, c, d = shard_batch((img1, img2, t1, t2), ctx.mesh)
+            for _ in range(steps):
+                loss, params, opt_state = ctx.step(params, opt_state, a, b, c, d)
+                snaps.append(jax.tree.map(lambda x: np.asarray(x), params))
+        return init, snaps, opt_state, float(loss)
+
+    is_trainable = lambda p: not p.startswith("encoder.")
+    init_f, snaps_f, opt_f, loss_f = run(is_trainable, 3)
+    _, snaps_u, opt_u, _ = run(None, 1)
+    final_f = snaps_f[-1]
+
+    paths = state_paths(final_f)
+    leaves = list(zip(paths, jax.tree.leaves(init_f), jax.tree.leaves(final_f),
+                      jax.tree.leaves(snaps_f[0]), jax.tree.leaves(snaps_u[0])))
+    froz = [x for x in leaves if x[0].startswith("encoder.")]
+    train = [x for x in leaves if not x[0].startswith("encoder.")]
+    assert froz and train
+    # frozen leaves did not move over 3 steps
+    for p, i, f, _, _ in froz:
+        np.testing.assert_array_equal(i, f, err_msg=p)
+    # trainable leaves moved
+    assert any(not np.array_equal(i, f) for _, i, f, _, _ in train)
+    # first-step trainable values match the unfrozen run's first step
+    for p, _, _, s1f, s1u in train:
+        np.testing.assert_array_equal(s1f, s1u, err_msg=p)
+    assert np.isfinite(loss_f)
+    # optimizer moments not allocated for frozen leaves: the frozen run's
+    # opt_state holds strictly fewer array elements than the unfrozen one's
+    n_elems = lambda t: sum(x.size for x in jax.tree.leaves(t) if hasattr(x, "size"))
+    assert n_elems(opt_f) < n_elems(opt_u)
+    n_frozen = sum(i.size for _, i, _, _, _ in froz)
+    assert n_elems(opt_u) - n_elems(opt_f) >= 2 * n_frozen  # mu + nu per frozen leaf

@@ -166,6 +166,7 @@ def make_train_step(
     clip_grad_norm: Optional[float] = None,
     skip_nonfinite: bool = False,
     metrics: bool = False,
+    trainable: Optional[Callable[[str], bool]] = None,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[TrainContext, Any, Any]:
     """Build a dp(+tp) sharded train step for a DUSt3R-style model.
@@ -214,6 +215,23 @@ def make_train_step(
         ``metrics = {"grad_norm": global L2 norm of the (unclipped)
         gradients}``. Costs one fused reduction; off by default so the
         bare-step signature is unchanged.
+    trainable: ``(dotted_path) -> bool`` predicate over parameter paths
+        (``utils.pytree.keypath_str`` convention, e.g.
+        ``"encoder.blocks.0.attn.qkv.kernel.value"``). Paths where it
+        returns False are FROZEN: ``jax.lax.stop_gradient`` is applied to
+        the leaf inside the loss (XLA then dead-code-eliminates their
+        weight-gradient matmuls from the backward — a frozen encoder
+        skips its wgrads entirely, not just its update), and the
+        optimizer runs through ``optax.multi_transform`` with
+        ``optax.set_to_zero`` on the frozen partition, so no moments are
+        allocated for frozen leaves. This is the standard
+        frozen-pretrained-encoder finetune recipe the reference's
+        encoder-zoo design assumes (pretrained encoders + trainable
+        info-sharing/heads). Wraps a caller-provided ``tx`` too.
+        The FIRST step's trainable-leaf updates match an unfrozen run's
+        exactly (per-leaf adamw; activations still carry gradient through
+        frozen layers — only the leaves' own grads are stopped); later
+        steps diverge because the unfrozen run keeps moving the encoder.
     """
     mesh = make_mesh(data=data, model=model_axis)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
@@ -226,6 +244,16 @@ def make_train_step(
             tx = optax.adamw(learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype)
         if clip_grad_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+        if trainable is not None:
+            from uniception_tpu.utils.pytree import keypath_str
+
+            labels = jax.tree_util.tree_map_with_path(
+                lambda kp, _: "train" if trainable(keypath_str(kp)) else "freeze", params
+            )
+            frozen_mask = jax.tree.map(lambda l: l == "freeze", labels)
+            tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+        else:
+            frozen_mask = None
         if skip_nonfinite:
             max_skips = skip_nonfinite if isinstance(skip_nonfinite, int) and not isinstance(skip_nonfinite, bool) else 100
             tx = optax.apply_if_finite(tx, max_consecutive_errors=max_skips)
@@ -264,6 +292,14 @@ def make_train_step(
             return dust3r_confidence_loss(res1, res2, target1, target2)
 
     def compute_loss(params, img1, img2, target1, target2):
+        if frozen_mask is not None:
+            # stop_gradient on the frozen leaves (not the activations):
+            # gradients still flow THROUGH frozen layers to earlier
+            # trainable ones, but the frozen leaves' own wgrads become
+            # structural zeros XLA removes from the backward pass.
+            params = jax.tree.map(
+                lambda x, f: jax.lax.stop_gradient(x) if f else x, params, frozen_mask
+            )
         m = nnx.merge(graphdef, params, rest)
         return loss_fn(m, img1, img2, target1, target2)
 

@@ -53,6 +53,14 @@ def parse_args():
     p.add_argument("--dec-dim", type=int, default=768)
     p.add_argument("--dec-heads", type=int, default=12)
     p.add_argument("--int8", action="store_true", help="w8a8-quantize the trunk linears (production serving config)")
+    p.add_argument(
+        "--buckets",
+        action="store_true",
+        help="serve arbitrary-size pairs via aspect bucketing (data/bucketing.py): "
+        "each pair is resized into its best-aspect canvas from the DUSt3R-512 "
+        "family (scaled to --img-size), every bucket compiles exactly once, "
+        "portrait views ride the ManyAR true_shape convention",
+    )
     p.add_argument("--no-scan", action="store_true", help="use the loop layout instead of scan-over-stacked-blocks")
     p.add_argument(
         "--compile-cache",
@@ -96,33 +104,43 @@ def load_frames(args):
     return rng.randint(0, 256, size=(2 * args.pairs, args.img_size, args.img_size, 3), dtype=np.uint8)
 
 
-def _build_model(args):
+def _make_model(args, img_size=None, landscape_only=False):
+    "Plain constructor for the serving DUSt3R (shared by the square and bucketed paths)."
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+
+    return DUSt3R(
+        name="dust3r_serve",
+        img_size=img_size or (args.img_size, args.img_size),
+        landscape_only=landscape_only,
+        patch_embed_cls="ManyAR_PatchEmbed",
+        pred_head_type=args.head,
+        enc_embed_dim=args.enc_dim,
+        enc_depth=args.enc_depth,
+        enc_num_heads=args.enc_heads,
+        info_sharing_dim=args.dec_dim,
+        info_sharing_depth=args.dec_depth,
+        info_sharing_num_heads=args.dec_heads,
+        # scan layout: 6x faster compiles and the fastest measured serving
+        # configuration (BASELINE.md); --no-scan restores the loop layout
+        scan_blocks=not args.no_scan,
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(0),
+    )
+
+
+def _build_model(args, img_size=None, landscape_only=False):
     "Construct + load + (maybe) quantize the serving model; returns (graphdef, state)."
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
-    from uniception_tpu.models.factory.dust3r import DUSt3R
     from uniception_tpu.models.utils.config import fast_init
 
     def ctor():
-        return DUSt3R(
-            name="dust3r_serve",
-            img_size=(args.img_size, args.img_size),
-            patch_embed_cls="ManyAR_PatchEmbed",
-            pred_head_type=args.head,
-            enc_embed_dim=args.enc_dim,
-            enc_depth=args.enc_depth,
-            enc_num_heads=args.enc_heads,
-            info_sharing_dim=args.dec_dim,
-            info_sharing_depth=args.dec_depth,
-            info_sharing_num_heads=args.dec_heads,
-            # scan layout: 6x faster compiles and the fastest measured serving
-            # configuration (BASELINE.md); --no-scan restores the loop layout
-            scan_blocks=not args.no_scan,
-            dtype=jnp.bfloat16,
-            rngs=nnx.Rngs(0),
-        )
+        return _make_model(args, img_size=img_size, landscape_only=landscape_only)
 
     if args.checkpoint is not None:
         # Cold-start path (utils/coldstart.py): abstract construction (no
@@ -189,8 +207,144 @@ def _build_model(args):
     return graphdef, state
 
 
+def _scaled_buckets(img_size):
+    "DUSt3R-512 aspect family scaled to img_size, snapped to multiples of 16."
+    from uniception_tpu.data.bucketing import DUST3R_512_BUCKETS
+
+    if img_size == 512:
+        return DUST3R_512_BUCKETS
+    out = []
+    for h, w in DUST3R_512_BUCKETS:
+        s = img_size / 512.0
+        hw = (max(16, int(round(h * s / 16.0)) * 16), max(16, int(round(w * s / 16.0)) * 16))
+        if hw not in out:
+            out.append(hw)
+    return tuple(out)
+
+
+def serve_bucketed(args):
+    """Arbitrary-resolution serving: pairs stream through PairBucketedBatcher
+    into a fixed family of aspect canvases; each bucket is one static-shape
+    jit (compiled exactly once), portrait views ride ManyAR true_shapes.
+
+    One loaded state serves every bucket — DUSt3R params are shape-
+    independent of img_size; only the per-bucket graphdef (a structure-only
+    abstract construction, no weights) differs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.data.bucketing import PairBucketedBatcher, extract_view
+    from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT
+    from uniception_tpu.models.utils.config import set_attention_impl
+    from uniception_tpu.utils.coldstart import abstract_construct
+    from uniception_tpu.utils.pytree import state_paths
+
+    set_attention_impl("pallas")
+    if args.compile_cache:
+        from uniception_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
+
+    buckets = _scaled_buckets(args.img_size)
+    graphdef, state = _build_model(args, img_size=buckets[0], landscape_only=True)
+    int8_active = any(".w_q." in p or p.endswith(".w_q.value") for p in state_paths(state))
+
+    norm = IMAGE_NORMALIZATION_DICT["dust3r"]
+    mean = jnp.asarray(norm.mean).reshape(1, 3, 1, 1)
+    std = jnp.asarray(norm.std).reshape(1, 3, 1, 1)
+
+    def graphdef_for(hw):
+        if hw == buckets[0]:
+            return graphdef
+
+        def ctor_b():
+            m = _make_model(args, img_size=hw, landscape_only=True)
+            if int8_active:
+                from uniception_tpu.nn.quant import quantize_linears
+
+                quantize_linears(m.encoder)
+                quantize_linears(m.info_sharing)
+            return m
+
+        gd, _ = nnx.split(abstract_construct(ctor_b))
+        return gd
+
+    infer_cache = {}
+
+    def get_infer(hw):
+        if hw not in infer_cache:
+            gd = graphdef_for(hw)
+
+            @jax.jit
+            def infer_b(state, c1, c2, t1, t2):
+                m = nnx.merge(gd, state)
+
+                def prep(u8):
+                    x = jnp.transpose(u8, (0, 3, 1, 2)).astype(jnp.float32) / 255.0
+                    return (x - mean) / std
+
+                r1, r2 = m.forward_pair(prep(c1), prep(c2), true_shape1=t1, true_shape2=t2)
+                return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
+
+            infer_cache[hw] = infer_b
+        return infer_cache[hw]
+
+    # pre-warm every bucket (each compiles exactly once; with --compile-cache
+    # warm restarts skip even that)
+    t0 = time.perf_counter()
+    for hw in buckets:
+        z = jnp.zeros((args.batch, hw[0], hw[1], 3), jnp.uint8)
+        ts = jnp.broadcast_to(jnp.asarray(hw, jnp.int32), (args.batch, 2))
+        jax.block_until_ready(get_infer(hw)(state, z, z, ts, ts))
+    print(f"{len(buckets)} buckets pre-warmed in {time.perf_counter() - t0:.1f}s: {list(buckets)}")
+
+    # synthetic request stream: mixed sizes and orientations around img_size
+    rng = np.random.RandomState(0)
+    batcher = PairBucketedBatcher(args.batch, buckets)
+    t0 = time.perf_counter()
+    served = 0
+    per_bucket = {}
+
+    def run_batch(emitted):
+        nonlocal served
+        for hw, c1, c2, t1, t2, meta in emitted:
+            out = get_infer(hw)(state, jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(t1), jnp.asarray(t2))
+            served += meta["n_valid"]
+            per_bucket[hw] = per_bucket.get(hw, 0) + meta["n_valid"]
+            last = (out, np.asarray(t2), meta)
+            run_batch.last = last
+
+    for i in range(args.pairs):
+        ar = [1.33, 1.52, 1.78, 2.0, 3.2][i % 5]
+        h = rng.randint(args.img_size // 2, 2 * args.img_size)
+        w = int(h * ar)
+        if i % 3 == 2:  # every third request is portrait
+            h, w = w, h
+        img1 = rng.randint(0, 256, (h, w, 3), np.uint8)
+        img2 = rng.randint(0, 256, (h, w, 3), np.uint8) if i % 4 else np.swapaxes(
+            rng.randint(0, 256, (w, h, 3), np.uint8), 0, 1
+        )
+        run_batch(batcher.add(img1, img2, key=i))
+    run_batch(batcher.flush())
+    out, t2_np, meta = run_batch.last
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f"{served} pairs in {dt:.2f}s = {served / dt:.2f} pairs/s across "
+          f"{len(per_bucket)} buckets {dict((str(k), v) for k, v in per_bucket.items())}")
+    # native-orientation unpack of the last batch's second view
+    native = extract_view(np.asarray(out[2][0]), t2_np[0])
+    print("pts3d (native orientation):", native.shape)
+
+
 def main():
     args = parse_args()
+    if args.buckets:
+        if args.artifact or args.save_artifact:
+            raise SystemExit("--buckets is a multi-shape serving loop; AOT artifacts are per-shape "
+                             "(export one per bucket instead)")
+        return serve_bucketed(args)
     import jax
     import jax.numpy as jnp
     from flax import nnx

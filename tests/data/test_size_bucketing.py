@@ -131,3 +131,98 @@ def test_bucketed_serving_matches_per_sample_runs():
             # native orientation comes back via the ManyAR unpack helper
             native = extract_view(np.asarray(res1["pts3d"][row]), ts[row])
             assert native.shape[:2] == (int(ts[row][0]), int(ts[row][1]))
+
+
+def test_pair_batcher_groups_by_first_view_and_pads():
+    from uniception_tpu.data.bucketing import PairBucketedBatcher
+
+    rng = np.random.RandomState(2)
+    b = PairBucketedBatcher(2, buckets=((32, 48), (32, 32)))
+    # pair 0: 1.5-aspect landscape + PORTRAIT second view (same canvas, own true_shape)
+    # pair 1: square-ish; pair 2: 1.5-aspect (completes bucket 0 with pair 0)
+    pairs = [
+        ((100, 150), (150, 100)),
+        ((97, 99), (50, 50)),
+        ((64, 96), (66, 96)),
+    ]
+    emitted = []
+    for i, ((h1, w1), (h2, w2)) in enumerate(pairs):
+        emitted += list(
+            b.add(
+                rng.randint(0, 256, (h1, w1, 3), np.uint8),
+                rng.randint(0, 256, (h2, w2, 3), np.uint8),
+                key=i,
+            )
+        )
+    emitted += list(b.flush())
+
+    assert len(emitted) == 2
+    bk0, c1, c2, ts1, ts2, meta = emitted[0]
+    assert bk0 == (32, 48) and c1.shape == c2.shape == (2, 32, 48, 3)
+    assert meta == {"keys": [0, 2], "n_valid": 2}
+    np.testing.assert_array_equal(ts1, [[32, 48], [32, 48]])
+    # second view of pair 0 is portrait: transposed true_shape, same canvas
+    np.testing.assert_array_equal(ts2, [[48, 32], [32, 48]])
+
+    bk1, c1, c2, ts1, ts2, meta = emitted[1]  # flushed square pair, padded
+    assert bk1 == (32, 32) and meta == {"keys": [1, 1], "n_valid": 1}
+    np.testing.assert_array_equal(c1[0], c1[1])
+    np.testing.assert_array_equal(c2[0], c2[1])
+
+
+def test_pair_bucketed_serving_matches_per_pair_runs():
+    """Mixed-size pair stream -> per-bucket DUSt3R forward; every valid row
+    equals the same pair served alone (incl. a portrait second view)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.data.bucketing import PairBucketedBatcher
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+
+    buckets = ((32, 48), (32, 32))
+    models = {
+        hw: DUSt3R(
+            name="pair_bucket_test", img_size=hw, patch_embed_cls="ManyAR_PatchEmbed",
+            landscape_only=True, enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
+            info_sharing_dim=64, info_sharing_depth=2, info_sharing_num_heads=4,
+            rngs=nnx.Rngs(0),
+        )
+        for hw in buckets
+    }
+
+    rng = np.random.RandomState(3)
+    pairs = [((100, 150), (150, 100)), ((97, 99), (50, 50)), ((64, 96), (66, 96))]
+    b = PairBucketedBatcher(2, buckets=buckets)
+    emitted = []
+    for i, ((h1, w1), (h2, w2)) in enumerate(pairs):
+        emitted += list(
+            b.add(
+                rng.randint(0, 256, (h1, w1, 3), np.uint8),
+                rng.randint(0, 256, (h2, w2, 3), np.uint8),
+                key=i,
+            )
+        )
+    emitted += list(b.flush())
+    assert len(emitted) == 2
+
+    for bucket_hw, c1, c2, ts1, ts2, meta in emitted:
+        m = models[bucket_hw]
+        x1 = jnp.asarray(np.transpose(c1, (0, 3, 1, 2)).astype(np.float32) / 255.0)
+        x2 = jnp.asarray(np.transpose(c2, (0, 3, 1, 2)).astype(np.float32) / 255.0)
+        t1, t2 = jnp.asarray(ts1), jnp.asarray(ts2)
+        res1, res2 = m.forward_pair(x1, x2, true_shape1=t1, true_shape2=t2)
+        for row in range(meta["n_valid"]):
+            r1, r2 = m.forward_pair(
+                x1[row : row + 1], x2[row : row + 1],
+                true_shape1=t1[row : row + 1], true_shape2=t2[row : row + 1],
+            )
+            np.testing.assert_allclose(
+                np.asarray(res1["pts3d"][row]), np.asarray(r1["pts3d"][0]), rtol=1e-5, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(res2["pts3d_in_other_view"][row]),
+                np.asarray(r2["pts3d_in_other_view"][0]), rtol=1e-5, atol=1e-5,
+            )
+            # portrait rows come back native via the ManyAR unpack helper
+            native = extract_view(np.asarray(res2["pts3d_in_other_view"][row]), ts2[row])
+            assert native.shape[:2] == (int(ts2[row][0]), int(ts2[row][1]))

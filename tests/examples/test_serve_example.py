@@ -287,3 +287,27 @@ def test_serve_outputs_match_across_formats(torch_ckpt, tmp_path):
     r_t, _ = m_t.forward_pair(img1, img2)
     r_n, _ = m_n.forward_pair(img1, img2)
     np.testing.assert_array_equal(np.asarray(r_t["pts3d"]), np.asarray(r_n["pts3d"]))
+
+
+def test_serve_bucketed_from_checkpoint(torch_ckpt):
+    """--buckets: arbitrary-size pair stream through the aspect-bucket family
+    (one loaded state, per-bucket abstract graphdefs), incl. int8 online
+    quantization of the shared state."""
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--buckets", "--checkpoint", torch_ckpt, "--pairs", "5", "--batch", "2",
+        *_flags(TINY), timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "buckets pre-warmed" in out.stdout, out.stdout
+    assert "pairs/s" in out.stdout, out.stdout
+    assert "native orientation" in out.stdout, out.stdout
+
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--buckets", "--int8", "--checkpoint", torch_ckpt, "--pairs", "3", "--batch", "2",
+        *_flags(TINY), timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "int8-quantized" in out.stdout, out.stdout
+    assert "pairs/s" in out.stdout, out.stdout

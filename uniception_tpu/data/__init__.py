@@ -2,6 +2,7 @@ from uniception_tpu.data.bucketing import (
     DUST3R_224_BUCKETS,
     DUST3R_512_BUCKETS,
     BucketedBatcher,
+    PairBucketedBatcher,
     assign_bucket,
     extract_view,
     extract_views,

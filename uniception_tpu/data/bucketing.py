@@ -29,6 +29,7 @@ __all__ = [
     "assign_bucket",
     "resize_to_bucket",
     "BucketedBatcher",
+    "PairBucketedBatcher",
 ]
 
 
@@ -196,5 +197,58 @@ class BucketedBatcher:
             self.buckets[idx],
             np.stack(canvases),
             np.stack(tss),
+            {"keys": list(keys), "n_valid": n_valid},
+        )
+
+
+class PairBucketedBatcher:
+    """Two-view variant of :class:`BucketedBatcher` for pair models (DUSt3R).
+
+    Both views of a pair share one batch row and are resized into the SAME
+    canvas — the bucket is chosen from the first view's aspect (the two
+    views of a stereo/video pair are almost always the same camera), while
+    each view keeps its own orientation flag, riding the ManyAR
+    ``true_shape`` convention (``landscape_only=True`` models).
+
+    ``add(img1, img2, key)`` buffers one pair and yields any batch it
+    completes as ``(bucket_hw, canvas1 (B, bh, bw, 3) uint8, canvas2,
+    true_shape1 (B, 2), true_shape2, meta)``; ``flush()`` drains remainders
+    padded to the batch size (``meta["n_valid"]`` marks real rows) so every
+    served shape stays static and each bucket compiles exactly once.
+    """
+
+    def __init__(self, batch_size: int, buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.batch_size = batch_size
+        self.buckets = [tuple(b) for b in buckets]
+        self._pending: Dict[int, List[tuple]] = {}
+
+    def add(self, img1: np.ndarray, img2: np.ndarray, key: object = None) -> Iterator[tuple]:
+        "Buffer one HWC-image pair; yields any batch this fill completes."
+        idx, portrait1 = assign_bucket(img1.shape[0], img1.shape[1], self.buckets)
+        portrait2 = img2.shape[0] > img2.shape[1]
+        c1, ts1 = resize_to_bucket(img1, self.buckets[idx], portrait1)
+        c2, ts2 = resize_to_bucket(img2, self.buckets[idx], portrait2)
+        self._pending.setdefault(idx, []).append((c1, c2, ts1, ts2, key))
+        if len(self._pending[idx]) >= self.batch_size:
+            yield self._emit(idx, self._pending.pop(idx), n_valid=self.batch_size)
+
+    def flush(self) -> Iterator[tuple]:
+        "Drain partial batches, padding each to batch_size (see n_valid)."
+        for idx in sorted(self._pending):
+            rows = self._pending.pop(idx)
+            n_valid = len(rows)
+            rows = rows + [rows[-1]] * (self.batch_size - n_valid)
+            yield self._emit(idx, rows, n_valid=n_valid)
+
+    def _emit(self, idx, rows, n_valid):
+        c1s, c2s, ts1s, ts2s, keys = zip(*rows)
+        return (
+            self.buckets[idx],
+            np.stack(c1s),
+            np.stack(c2s),
+            np.stack(ts1s),
+            np.stack(ts2s),
             {"keys": list(keys), "n_valid": n_valid},
         )

@@ -530,3 +530,39 @@ def test_trainable_freezes_encoder_and_matches_unfrozen_updates():
     assert n_elems(opt_f) < n_elems(opt_u)
     n_frozen = sum(i.size for _, i, _, _, _ in froz)
     assert n_elems(opt_u) - n_elems(opt_f) >= 2 * n_frozen  # mu + nu per frozen leaf
+
+
+def test_trainable_composes_with_fsdp():
+    """Frozen encoder under FSDP: params stay data-sharded across donated
+    steps, frozen leaves stay bit-identical, loss decreases."""
+    from uniception_tpu.utils.pytree import state_paths
+
+    model = DUSt3R(name="freeze_fsdp", rngs=nnx.Rngs(0), **SMALL)
+    ctx, params, opt_state = make_train_step(
+        model, learning_rate=1e-3, data=8, fsdp=True,
+        trainable=lambda p: not p.startswith("encoder."),
+    )
+    init = jax.tree.map(lambda x: np.asarray(x), params)
+
+    rng = np.random.RandomState(4)
+    img1 = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    t1 = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    t2 = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+
+    losses = []
+    with ctx.mesh:
+        a, b, c, d = shard_batch((img1, img2, t1, t2), ctx.mesh)
+        for _ in range(4):
+            loss, params, opt_state = ctx.step(params, opt_state, a, b, c, d)
+            losses.append(float(loss))
+
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+    # frozen leaves bit-identical; params still sharded (not re-replicated)
+    n_sharded = 0
+    for p, i, f in zip(state_paths(params), jax.tree.leaves(init), jax.tree.leaves(params)):
+        if p.startswith("encoder."):
+            np.testing.assert_array_equal(i, np.asarray(f), err_msg=p)
+        if not f.sharding.is_fully_replicated:
+            n_sharded += 1
+    assert n_sharded > 0

@@ -235,7 +235,6 @@ def serve_bucketed(args):
     import jax.numpy as jnp
     from flax import nnx
 
-    from uniception_tpu.data.bucketing import PairBucketedBatcher, extract_view
     from uniception_tpu.models.encoders.image_normalizations import IMAGE_NORMALIZATION_DICT
     from uniception_tpu.models.utils.config import set_attention_impl
     from uniception_tpu.utils.coldstart import abstract_construct
@@ -248,12 +247,49 @@ def serve_bucketed(args):
         enable_compilation_cache(args.compile_cache)
 
     buckets = _scaled_buckets(args.img_size)
-    graphdef, state = _build_model(args, img_size=buckets[0], landscape_only=True)
-    int8_active = any(".w_q." in p or p.endswith(".w_q.value") for p in state_paths(state))
 
     norm = IMAGE_NORMALIZATION_DICT["dust3r"]
     mean = jnp.asarray(norm.mean).reshape(1, 3, 1, 1)
     std = jnp.asarray(norm.std).reshape(1, 3, 1, 1)
+
+    def _bucket_artifact_path(base, hw):
+        root, ext = os.path.splitext(base)
+        return f"{root}.{hw[0]}x{hw[1]}{ext or '.jexp'}"
+
+    def serving_fn_bucket(m, c1, c2, t1, t2):
+        def prep(u8):
+            x = jnp.transpose(u8, (0, 3, 1, 2)).astype(jnp.float32) / 255.0
+            return (x - mean) / std
+
+        r1, r2 = m.forward_pair(prep(c1), prep(c2), true_shape1=t1, true_shape2=t2)
+        return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
+
+    if args.artifact is not None:
+        # per-bucket AOT path: one artifact per canvas shape (AOT is per-shape
+        # by nature), all bound to ONE native checkpoint's arrays
+        from uniception_tpu.utils.coldstart import is_native_state, load_native_state
+        from uniception_tpu.utils.export import load_serving_artifact
+
+        if not (args.checkpoint and is_native_state(args.checkpoint)):
+            raise SystemExit("--artifact requires --checkpoint to be a native serving checkpoint "
+                             "(scripts/convert_checkpoints.py --serving)")
+        t0 = time.perf_counter()
+        arrays, _ = load_native_state(args.checkpoint)
+        state = None
+        infer_cache = {}
+        for hw in buckets:
+            bound = load_serving_artifact(_bucket_artifact_path(args.artifact, hw)).bind(arrays)
+            infer_cache[hw] = (lambda b: lambda state, c1, c2, t1, t2: b(c1, c2, t1, t2))(bound)
+        print(f"{len(buckets)} per-bucket AOT artifacts bound in {time.perf_counter() - t0:.2f}s "
+              f"(no construction, no trace)")
+
+        def get_infer(hw):
+            return infer_cache[hw]
+
+        return _bucket_loop(args, buckets, state, get_infer)
+
+    graphdef, state = _build_model(args, img_size=buckets[0], landscape_only=True)
+    int8_active = any(".w_q." in p or p.endswith(".w_q.value") for p in state_paths(state))
 
     def graphdef_for(hw):
         if hw == buckets[0]:
@@ -271,6 +307,25 @@ def serve_bucketed(args):
         gd, _ = nnx.split(abstract_construct(ctor_b))
         return gd
 
+    if args.save_artifact is not None:
+        # one AOT artifact per bucket shape, all sharing the same weights
+        # (shipped separately via the native checkpoint)
+        from uniception_tpu.utils.export import save_serving_artifact
+
+        for hw in buckets:
+            m = nnx.merge(graphdef_for(hw), state)
+            u8 = jax.ShapeDtypeStruct((args.batch, hw[0], hw[1], 3), jnp.uint8)
+            tsp = jax.ShapeDtypeStruct((args.batch, 2), jnp.int32)
+            p = _bucket_artifact_path(args.save_artifact, hw)
+            save_serving_artifact(
+                p, m, (u8, u8, tsp, tsp), method=serving_fn_bucket,
+                bucket=list(hw), batch=args.batch, head=args.head, int8=int8_active,
+            )
+            print(f"bucket {hw}: artifact written to {p}")
+        print(f"{len(buckets)} per-bucket serving artifacts "
+              f"(pair with a native --serving checkpoint; serve with --buckets --artifact)")
+        return
+
     infer_cache = {}
 
     def get_infer(hw):
@@ -279,17 +334,20 @@ def serve_bucketed(args):
 
             @jax.jit
             def infer_b(state, c1, c2, t1, t2):
-                m = nnx.merge(gd, state)
-
-                def prep(u8):
-                    x = jnp.transpose(u8, (0, 3, 1, 2)).astype(jnp.float32) / 255.0
-                    return (x - mean) / std
-
-                r1, r2 = m.forward_pair(prep(c1), prep(c2), true_shape1=t1, true_shape2=t2)
-                return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
+                return serving_fn_bucket(nnx.merge(gd, state), c1, c2, t1, t2)
 
             infer_cache[hw] = infer_b
         return infer_cache[hw]
+
+    return _bucket_loop(args, buckets, state, get_infer)
+
+
+def _bucket_loop(args, buckets, state, get_infer):
+    "Pre-warm every bucket, then stream a mixed-size pair load through the batcher."
+    import jax
+    import jax.numpy as jnp
+
+    from uniception_tpu.data.bucketing import PairBucketedBatcher, extract_view
 
     # pre-warm every bucket (each compiles exactly once; with --compile-cache
     # warm restarts skip even that)
@@ -341,9 +399,6 @@ def serve_bucketed(args):
 def main():
     args = parse_args()
     if args.buckets:
-        if args.artifact or args.save_artifact:
-            raise SystemExit("--buckets is a multi-shape serving loop; AOT artifacts are per-shape "
-                             "(export one per bucket instead)")
         return serve_bucketed(args)
     import jax
     import jax.numpy as jnp

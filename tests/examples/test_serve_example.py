@@ -311,3 +311,31 @@ def test_serve_bucketed_from_checkpoint(torch_ckpt):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "int8-quantized" in out.stdout, out.stdout
     assert "pairs/s" in out.stdout, out.stdout
+
+
+def test_serve_bucketed_aot_artifacts(torch_ckpt, tmp_path):
+    "--buckets --save-artifact exports one AOT artifact per canvas; --buckets --artifact serves from them."
+    native = str(tmp_path / "bkt.nsv")
+    out = _run(("scripts", "convert_checkpoints.py"), torch_ckpt, native, "--serving", *_flags(TINY))
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    art = str(tmp_path / "bkt.jexp")
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--buckets", "--save-artifact", art, "--checkpoint", native, "--batch", "2",
+        *_flags(TINY), timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "per-bucket serving artifacts" in out.stdout, out.stdout
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "bkt.*x*.jexp"))) >= 2
+
+    out = _run(
+        ("examples", "serve_dust3r.py"),
+        "--buckets", "--artifact", art, "--checkpoint", native, "--batch", "2", "--pairs", "4",
+        *_flags(TINY), timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "AOT artifacts bound" in out.stdout, out.stdout
+    assert "pairs/s" in out.stdout, out.stdout

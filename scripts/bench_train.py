@@ -52,9 +52,28 @@ def main():
     # halves its HBM read+write traffic in the bandwidth-bound optimizer
     mu_dtype = jnp.bfloat16 if os.environ.get("BENCH_MU_DTYPE") == "bfloat16" else None
     tx = optax.adamw(1e-4, mu_dtype=mu_dtype)
+    # BENCH_FREEZE=encoder measures the frozen-pretrained-encoder finetune
+    # (make_train_step(trainable=...) semantics): stop_gradient on the frozen
+    # leaves drops their wgrad matmuls from the backward, multi_transform +
+    # set_to_zero drops their optimizer moments
+    FREEZE = os.environ.get("BENCH_FREEZE")
+    if FREEZE:
+        from uniception_tpu.utils.pytree import keypath_str
+
+        labels = jax.tree_util.tree_map_with_path(
+            lambda kp, _: "freeze" if keypath_str(kp).startswith(FREEZE + ".") else "train", params
+        )
+        frozen_mask = jax.tree.map(lambda l: l == "freeze", labels)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    else:
+        frozen_mask = None
     opt_state = tx.init(params)
 
     def loss_fn(params, img1, img2, ts, tgt1, tgt2, carry):
+        if frozen_mask is not None:
+            params = jax.tree.map(
+                lambda x, f: jax.lax.stop_gradient(x) if f else x, params, frozen_mask
+            )
         m = nnx.merge(graphdef, params, rest)
         r1, r2 = m.forward_pair(img1 + carry * 1e-12, img2, true_shape1=ts, true_shape2=ts)
         return dust3r_confidence_loss(r1, r2, tgt1, tgt2).astype(jnp.float32)

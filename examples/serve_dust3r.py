@@ -358,8 +358,35 @@ def _bucket_loop(args, buckets, state, get_infer):
         jax.block_until_ready(get_infer(hw)(state, z, z, ts, ts))
     print(f"{len(buckets)} buckets pre-warmed in {time.perf_counter() - t0:.1f}s: {list(buckets)}")
 
-    # synthetic request stream: mixed sizes and orientations around img_size
-    rng = np.random.RandomState(0)
+    # request stream: native-size frames from --image-dir (consecutive frames
+    # pair up), or synthetic mixed sizes/orientations around img_size
+    def pair_stream():
+        if args.image_dir:
+            from PIL import Image
+
+            files = sorted(
+                os.path.join(args.image_dir, f)
+                for f in os.listdir(args.image_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )
+            for i in range(len(files) // 2):
+                a = np.asarray(Image.open(files[2 * i]).convert("RGB"))
+                b = np.asarray(Image.open(files[2 * i + 1]).convert("RGB"))
+                yield i, a, b
+            return
+        rng = np.random.RandomState(0)
+        for i in range(args.pairs):
+            ar = [1.33, 1.52, 1.78, 2.0, 3.2][i % 5]
+            h = rng.randint(args.img_size // 2, 2 * args.img_size)
+            w = int(h * ar)
+            if i % 3 == 2:  # every third request is portrait
+                h, w = w, h
+            img1 = rng.randint(0, 256, (h, w, 3), np.uint8)
+            img2 = rng.randint(0, 256, (h, w, 3), np.uint8) if i % 4 else np.swapaxes(
+                rng.randint(0, 256, (w, h, 3), np.uint8), 0, 1
+            )
+            yield i, img1, img2
+
     batcher = PairBucketedBatcher(args.batch, buckets)
     t0 = time.perf_counter()
     served = 0
@@ -374,16 +401,7 @@ def _bucket_loop(args, buckets, state, get_infer):
             last = (out, np.asarray(t2), meta)
             run_batch.last = last
 
-    for i in range(args.pairs):
-        ar = [1.33, 1.52, 1.78, 2.0, 3.2][i % 5]
-        h = rng.randint(args.img_size // 2, 2 * args.img_size)
-        w = int(h * ar)
-        if i % 3 == 2:  # every third request is portrait
-            h, w = w, h
-        img1 = rng.randint(0, 256, (h, w, 3), np.uint8)
-        img2 = rng.randint(0, 256, (h, w, 3), np.uint8) if i % 4 else np.swapaxes(
-            rng.randint(0, 256, (w, h, 3), np.uint8), 0, 1
-        )
+    for i, img1, img2 in pair_stream():
         run_batch(batcher.add(img1, img2, key=i))
     run_batch(batcher.flush())
     out, t2_np, meta = run_batch.last

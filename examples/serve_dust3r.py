@@ -404,6 +404,9 @@ def _bucket_loop(args, buckets, state, get_infer):
     for i, img1, img2 in pair_stream():
         run_batch(batcher.add(img1, img2, key=i))
     run_batch(batcher.flush())
+    if served == 0:
+        print("no pairs to serve (need >= 2 frames in --image-dir)")
+        return
     out, t2_np, meta = run_batch.last
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0

@@ -207,17 +207,20 @@ def _build_model(args, img_size=None, landscape_only=False):
     return graphdef, state
 
 
-def _scaled_buckets(img_size):
-    "DUSt3R-512 aspect family scaled to img_size, snapped to multiples of 16."
+def _scaled_buckets(img_size, patch=16):
+    """DUSt3R-512 aspect family scaled to img_size, snapped to multiples of
+    the model's patch size with a floor of 2 patch rows/cols per canvas (a
+    1-patch-tall canvas degenerates the DPT pyramid and the aspect family)."""
     from uniception_tpu.data.bucketing import DUST3R_512_BUCKETS
 
-    if img_size == 512:
+    if img_size == 512 and all(h % patch == 0 and w % patch == 0 for h, w in DUST3R_512_BUCKETS):
         return DUST3R_512_BUCKETS
+    lo = 2 * patch
     out = []
     for h, w in DUST3R_512_BUCKETS:
         s = img_size / 512.0
-        hw = (max(16, int(round(h * s / 16.0)) * 16), max(16, int(round(w * s / 16.0)) * 16))
-        if hw not in out:
+        hw = (max(lo, int(round(h * s / patch)) * patch), max(lo, int(round(w * s / patch)) * patch))
+        if hw[0] <= hw[1] and hw not in out:  # keep landscape canvases only
             out.append(hw)
     return tuple(out)
 

@@ -81,8 +81,10 @@ def test_batcher_groups_pads_and_keys():
     assert bk1 == (32, 32) and meta1 == {"keys": [2, 4], "n_valid": 2}
     np.testing.assert_array_equal(ts1, [[32, 32], [32, 32]])
 
-    # flush: the leftover 1.5-aspect image, padded by repeating the last row
-    assert bk2 == (32, 48) and meta2 == {"keys": [3, 3], "n_valid": 1}
+    # flush: the leftover 1.5-aspect image, padded by repeating the last row's
+    # pixels — but the padded row carries key=None so key->result maps can't
+    # double-deliver
+    assert bk2 == (32, 48) and meta2 == {"keys": [3, None], "n_valid": 1}
     np.testing.assert_array_equal(canvas2[0], canvas2[1])
 
 
@@ -165,9 +167,39 @@ def test_pair_batcher_groups_by_first_view_and_pads():
     np.testing.assert_array_equal(ts2, [[48, 32], [32, 48]])
 
     bk1, c1, c2, ts1, ts2, meta = emitted[1]  # flushed square pair, padded
-    assert bk1 == (32, 32) and meta == {"keys": [1, 1], "n_valid": 1}
+    assert bk1 == (32, 32) and meta == {"keys": [1, None], "n_valid": 1}
     np.testing.assert_array_equal(c1[0], c1[1])
     np.testing.assert_array_equal(c2[0], c2[1])
+
+
+def test_square_bucket_keeps_portrait_orientation():
+    """A portrait image assigned to a SQUARE bucket must NOT be transposed
+    into the canvas: true_shape would be (s, s), the model would treat the
+    row as landscape, and extract_view could never undo the transpose —
+    predictions would come back silently mirrored. The fix treats square
+    canvases as orientation-free and fills them in native orientation."""
+    from uniception_tpu.data.bucketing import PairBucketedBatcher
+
+    # a vertical gradient must stay vertical through a square canvas
+    img = np.zeros((64, 40, 3), np.uint8)  # portrait
+    img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[:, None]
+    canvas, ts = resize_to_bucket(img, (32, 32), portrait=True)
+    assert tuple(ts) == (32, 32)
+    # rows increase top->bottom (native orientation), columns are constant
+    red = canvas[:, :, 0].astype(np.int32)
+    assert (np.diff(red.mean(axis=1)) >= 0).all() and red.mean(axis=1)[-1] > red.mean(axis=1)[0]
+    assert np.ptp(red.mean(axis=0)) < np.ptp(red.mean(axis=1)) / 4
+
+    # and the batchers route portrait images through the same rule
+    b = BucketedBatcher(1, buckets=((32, 32),))
+    (bk, cv, ts_b, meta), = list(b.add(img, key=0))
+    np.testing.assert_array_equal(cv[0], canvas)
+    np.testing.assert_array_equal(ts_b[0], [32, 32])
+
+    pb = PairBucketedBatcher(1, buckets=((32, 32),))
+    (bk, c1, c2, t1, t2, meta), = list(pb.add(img, img, key=0))
+    np.testing.assert_array_equal(c1[0], canvas)
+    np.testing.assert_array_equal(c2[0], canvas)
 
 
 def test_pair_bucketed_serving_matches_per_pair_runs():

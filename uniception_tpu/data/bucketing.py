@@ -132,7 +132,11 @@ def resize_to_bucket(
     fits inside the scaled image, then crop the center).
 
     portrait images are resized in their native orientation and then
-    TRANSPOSED into the canvas (ManyAR convention).
+    TRANSPOSED into the canvas (ManyAR convention). A SQUARE canvas
+    (bh == bw) carries no orientation information — true_shape would come
+    back (s, s) and extract_view could never undo the transpose — so
+    portrait is ignored there and the image fills the square directly in
+    its native orientation.
 
     Returns (canvas (bh, bw, C) uint8, true_shape (2,) int32) where
     true_shape is (bh, bw) for landscape and (bw, bh) for portrait.
@@ -142,6 +146,8 @@ def resize_to_bucket(
     if image.ndim != 3:
         raise ValueError(f"expected HWC image, got shape {image.shape}")
     bh, bw = bucket_hw
+    if bh == bw:
+        portrait = False
     th, tw = (bw, bh) if portrait else (bh, bw)  # target in native orientation
     H, W = image.shape[:2]
     scale = max(th / H, tw / W)
@@ -184,11 +190,15 @@ class BucketedBatcher:
             yield self._emit(idx, self._pending.pop(idx), n_valid=self.batch_size)
 
     def flush(self) -> Iterator[tuple]:
-        "Drain partial batches, padding each to batch_size (see n_valid)."
+        """Drain partial batches, padding each to batch_size (see n_valid).
+
+        Padded rows repeat the last sample's pixels (static shapes) but carry
+        key=None so a key->result mapping never double-delivers a request."""
         for idx in sorted(self._pending):
             rows = self._pending.pop(idx)
             n_valid = len(rows)
-            rows = rows + [rows[-1]] * (self.batch_size - n_valid)
+            pad = rows[-1][:-1] + (None,)
+            rows = rows + [pad] * (self.batch_size - n_valid)
             yield self._emit(idx, rows, n_valid=n_valid)
 
     def _emit(self, idx, rows, n_valid):
@@ -235,11 +245,15 @@ class PairBucketedBatcher:
             yield self._emit(idx, self._pending.pop(idx), n_valid=self.batch_size)
 
     def flush(self) -> Iterator[tuple]:
-        "Drain partial batches, padding each to batch_size (see n_valid)."
+        """Drain partial batches, padding each to batch_size (see n_valid).
+
+        Padded rows repeat the last pair's pixels (static shapes) but carry
+        key=None so a key->result mapping never double-delivers a request."""
         for idx in sorted(self._pending):
             rows = self._pending.pop(idx)
             n_valid = len(rows)
-            rows = rows + [rows[-1]] * (self.batch_size - n_valid)
+            pad = rows[-1][:-1] + (None,)
+            rows = rows + [pad] * (self.batch_size - n_valid)
             yield self._emit(idx, rows, n_valid=n_valid)
 
     def _emit(self, idx, rows, n_valid):

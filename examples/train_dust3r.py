@@ -128,6 +128,15 @@ def main():
         help="freeze the pretrained encoder; train info-sharing + heads only "
         "(the standard UniCeption finetune recipe — skips encoder wgrads and moments)",
     )
+    ap.add_argument(
+        "--lora",
+        type=int,
+        default=0,
+        metavar="RANK",
+        help="LoRA finetuning: wrap the trunk linears with rank-RANK adapters "
+        "(nn/lora.py) and train ONLY the adapters (base weights frozen, no "
+        "moments allocated for them)",
+    )
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
@@ -181,6 +190,18 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else None,
         rngs=nnx.Rngs(0),
     )
+    if args.lora and args.freeze_encoder:
+        ap.error("--lora and --freeze-encoder are separate finetune recipes; pick one")
+    trainable = None
+    if args.lora:
+        from uniception_tpu.nn import apply_lora, lora_trainable
+
+        n_wrapped = apply_lora(model, rank=args.lora, rngs=nnx.Rngs(1), min_params=1)
+        print(f"lora: wrapped {n_wrapped} linears at rank {args.lora}")
+        trainable = lora_trainable
+    elif args.freeze_encoder:
+        trainable = lambda p: not p.startswith("encoder.")
+
     norm_mode = "avg_dis" if args.norm_loss else None
     loss_fn = None
     if args.mixed_ar:
@@ -220,7 +241,7 @@ def main():
         clip_grad_norm=args.clip_grad,
         skip_nonfinite=args.skip_nonfinite,
         metrics=args.metrics,
-        trainable=(lambda p: not p.startswith("encoder.")) if args.freeze_encoder else None,
+        trainable=trainable,
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"mesh={dict(ctx.mesh.shape)} params={n_params / 1e6:.2f}M zero1={args.zero1} fsdp={args.fsdp}")

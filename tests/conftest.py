@@ -39,6 +39,11 @@ def pytest_addoption(parser):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running full-size parity gate (enable with --run-slow)")
+    config.addinivalue_line(
+        "markers",
+        "slow_subprocess: spawns fresh python+jax processes (minutes each; enable with --run-slow). "
+        "Every CLI surface keeps one unmarked smoke test in the default tier.",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
@@ -48,7 +53,7 @@ def pytest_collection_modifyitems(config, items):
         return
     skip = pytest.mark.skip(reason="slow test: pass --run-slow or set UNICEPTION_TPU_RUN_SLOW=1")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or "slow_subprocess" in item.keywords:
             item.add_marker(skip)
 
 

@@ -74,6 +74,7 @@ def test_serve_from_torch_layout_checkpoint(torch_ckpt):
     assert "pairs/s" in out.stdout, out.stdout
 
 
+@pytest.mark.slow_subprocess
 def test_convert_serving_then_serve(torch_ckpt, tmp_path):
     "converter --serving -> native ckpt -> serve cold-start path."
     native = str(tmp_path / "serve_native.npz")
@@ -118,6 +119,7 @@ def _build(cfg, **over):
     )
 
 
+@pytest.mark.slow_subprocess
 def test_convert_serving_int8_offline_matches_online(tmp_path):
     """--serving --int8 writes offline-quantized weights that serve
     bit-identically to online quantize_linears at serve time, in the
@@ -188,6 +190,7 @@ def test_convert_serving_int8_offline_matches_online(tmp_path):
     assert "serving int8" in out.stdout and "pairs/s" in out.stdout, out.stdout
 
 
+@pytest.mark.slow_subprocess
 def test_serve_compile_cache_warm_restart(torch_ckpt, tmp_path):
     """--compile-cache must persist the jitted executables: the first serve
     process populates the cache directory, an identical second process
@@ -211,6 +214,7 @@ def test_serve_compile_cache_warm_restart(torch_ckpt, tmp_path):
     assert n_warm == n_cold, f"warm restart recompiled: {n_cold} -> {n_warm} cache entries"
 
 
+@pytest.mark.slow_subprocess
 def test_serve_aot_artifact_ladder(torch_ckpt, tmp_path):
     """The full AOT cold-start ladder: convert --serving -> --save-artifact
     -> serve with --artifact (no construction, no trace), same output line."""
@@ -238,6 +242,7 @@ def test_serve_aot_artifact_ladder(torch_ckpt, tmp_path):
     assert "AOT artifact bound" in out.stdout and "pairs/s" in out.stdout, out.stdout
 
 
+@pytest.mark.slow_subprocess
 def test_serve_outputs_match_across_formats(torch_ckpt, tmp_path):
     "Both load paths must produce the same weights: compare forward outputs."
     from uniception_tpu.models.factory.dust3r import DUSt3R
@@ -289,6 +294,7 @@ def test_serve_outputs_match_across_formats(torch_ckpt, tmp_path):
     np.testing.assert_array_equal(np.asarray(r_t["pts3d"]), np.asarray(r_n["pts3d"]))
 
 
+@pytest.mark.slow_subprocess
 def test_serve_bucketed_from_checkpoint(torch_ckpt):
     """--buckets: arbitrary-size pair stream through the aspect-bucket family
     (one loaded state, per-bucket abstract graphdefs), incl. int8 online
@@ -313,6 +319,7 @@ def test_serve_bucketed_from_checkpoint(torch_ckpt):
     assert "pairs/s" in out.stdout, out.stdout
 
 
+@pytest.mark.slow_subprocess
 def test_serve_bucketed_aot_artifacts(torch_ckpt, tmp_path):
     "--buckets --save-artifact exports one AOT artifact per canvas; --buckets --artifact serves from them."
     native = str(tmp_path / "bkt.nsv")

@@ -37,6 +37,7 @@ def _run(tmp_path, *extra):
     )
 
 
+@pytest.mark.slow_subprocess
 def test_train_example_runs_saves_and_resumes(tmp_path):
     out = _run(tmp_path)
     assert out.returncode == 0, out.stderr[-2000:]
@@ -68,6 +69,7 @@ def test_train_example_runs_saves_and_resumes(tmp_path):
     )
 
 
+@pytest.mark.slow_subprocess
 def test_train_example_preemption(tmp_path):
     """SIGTERM mid-run (TPU maintenance-event semantics) must checkpoint at
     the next step boundary and exit 0; the resumed run must match an
@@ -131,8 +133,28 @@ def test_train_example_preemption(tmp_path):
     )
 
 
+@pytest.mark.slow_subprocess
 def test_train_example_mixed_ar(tmp_path):
     "Mixed landscape/portrait ManyAR training (landscape_only + true_shapes in the batch pytree)."
     out = _run(tmp_path, "--mixed-ar", "--norm-loss")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "step " in out.stdout, out.stdout
+
+
+def test_train_example_smoke(tmp_path):
+    "Default-tier smoke: the training CLI runs one step and saves (single subprocess)."
+    out = _run(tmp_path, "--steps", "1")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "step " in out.stdout and "saved params+opt_state+step" in out.stdout, out.stdout
+
+
+@pytest.mark.slow_subprocess
+def test_train_example_lora(tmp_path):
+    """--lora: adapters wrap the trunk linears and only they train (the
+    first-step-matches / frozen-base proof is in tests/nn/test_lora.py;
+    this exercises the CLI wiring end-to-end incl. checkpointing the
+    wrapped key layout)."""
+    out = _run(tmp_path, "--lora", "4")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "lora: wrapped" in out.stdout, out.stdout
+    assert "step " in out.stdout and "saved params+opt_state+step" in out.stdout, out.stdout

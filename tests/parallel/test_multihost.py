@@ -89,6 +89,7 @@ def _run(args, out_path, timeout=600):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_subprocess
 def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"

@@ -82,6 +82,7 @@ def test_cross_platform_export_from_cpu(tmp_path):
     assert np.isfinite(np.asarray(out1["pts3d"])).all()
 
 
+@pytest.mark.slow_subprocess
 def test_serving_process_needs_no_model_code(tmp_path):
     """The consumer side of the artifact contract: a fresh process that
     imports only utils.export + utils.coldstart (no models/, no factory)

@@ -75,6 +75,19 @@ def main():
     parser.add_argument("--reference-data", default=os.path.join(os.path.dirname(__file__), "../../../reference_data/dust3r_pre_cvpr"))
     parser.add_argument("--models", nargs="*", default=list(MODEL_CONFIGS))
     parser.add_argument("--viz", action="store_true", help="log point clouds to Rerun if installed")
+    parser.add_argument(
+        "--overrides",
+        default=None,
+        help="JSON dict of DUSt3R ctor overrides applied to every model "
+        "(e.g. tiny dims for the golden-gate dry run, scripts/run_golden_gates.py)",
+    )
+    parser.add_argument(
+        "--dump-golden",
+        action="store_true",
+        help="write 03_head_output.npz golden files under --reference-data from "
+        "this run's outputs instead of checking against them (used by the "
+        "run_golden_gates.py dry-run to prove the gate plumbing end-to-end)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -88,6 +101,14 @@ def main():
 
     from uniception_tpu.models.factory.dust3r import DUSt3R
 
+    overrides = {}
+    if args.overrides:
+        import json
+
+        overrides = json.loads(args.overrides)
+        if "img_size" in overrides:
+            overrides["img_size"] = tuple(overrides["img_size"])
+
     any_verified = False
     for model_name in args.models:
         cfg = MODEL_CONFIGS[model_name]
@@ -97,16 +118,20 @@ def main():
             continue
 
         print(f"[{model_name}] loading {ckpt}")
-        model = DUSt3R(
-            name=model_name,
+        kwargs = dict(
             img_size=cfg["img_size"],
             patch_embed_cls="PatchEmbedDust3R",
             pred_head_type=cfg["pred_head_type"],
+        )
+        kwargs.update(overrides)
+        model = DUSt3R(
+            name=model_name,
             pretrained_checkpoint_path=ckpt,
             rngs=nnx.Rngs(0),
+            **kwargs,
         )
 
-        imgs = load_example_images(cfg["img_size"])
+        imgs = load_example_images(kwargs["img_size"])
         img_tensor = jnp.asarray(imgs)
         view1 = {"img": img_tensor, "instance": ["0", "1"], "data_norm_type": "dust3r"}
         view2 = {"img": img_tensor[jnp.asarray([1, 0])], "instance": ["1", "0"], "data_norm_type": "dust3r"}
@@ -115,7 +140,17 @@ def main():
         print(f"[{model_name}] forward pass completed")
 
         golden = os.path.join(args.reference_data, GOLDEN_DIRS[model_name], "03_head_output.npz")
-        if os.path.exists(golden):
+        if args.dump_golden:
+            os.makedirs(os.path.dirname(golden), exist_ok=True)
+            np.savez(
+                golden,
+                head1_pts3d=np.asarray(res1["pts3d"]),
+                head2_pts3d=np.asarray(res2["pts3d_in_other_view"]),
+                head1_conf=np.asarray(res1["conf"])[..., 0],
+                head2_conf=np.asarray(res2["conf"])[..., 0],
+            )
+            print(f"[{model_name}] golden outputs written to {golden}")
+        elif os.path.exists(golden):
             ref = np.load(golden)
             checks = {
                 "head1_pts3d": (np.asarray(res1["pts3d"]), ref["head1_pts3d"]),

@@ -185,3 +185,93 @@ def test_quantize_linears_predicate_receives_dotted_paths():
     n_noqkv = quantize_linears(blk2, min_params=1, predicate=lambda p, lin: not p.endswith("qkv"))
     assert n_noqkv == n_all - 1
     assert isinstance(blk2.attn.qkv, nnx.Linear) and not isinstance(blk2.attn.qkv, Int8Linear)
+
+
+def test_int8_asym_centering_exact_identity_and_accuracy():
+    """Zero-point (asym) activation mode: the rank-1 correction makes
+    x @ (Wq*s) algebraically exact for the CENTERED residual, and on a
+    one-sided (GELU-like) input the total error must beat symmetric absmax
+    — the measured dominant term of the trunk's int8 bill (BASELINE.md r4)."""
+    rng = np.random.RandomState(3)
+    lin = LinearX(512, 256, rngs=nnx.Rngs(0))
+    ref_w = lin.kernel[...]
+
+    # one-sided input: GELU-shaped (mostly near zero, positive tail)
+    z = jnp.asarray(rng.randn(4, 65, 512).astype(np.float32))
+    x = jax.nn.gelu(z * 1.5)
+    ref = lin(x)
+
+    q_sym = Int8Linear.from_linear(lin, asym=False)
+    q_asym = Int8Linear.from_linear(lin, asym=True)
+    assert q_sym.w_colsum is None and q_asym.w_colsum is not None
+    # w_colsum is the exact dequantized column sum
+    np.testing.assert_allclose(
+        np.asarray(q_asym.w_colsum[...]),
+        np.asarray((q_asym.w_q[...].astype(jnp.float32) * q_asym.w_scale[...]).sum(0, keepdims=True)),
+        rtol=1e-4,  # summation-order slack
+    )
+
+    rel = lambda a, b: float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+    e_sym, e_asym = rel(q_sym(x), ref), rel(q_asym(x), ref)
+    assert e_asym < e_sym, (e_asym, e_sym)
+    assert e_asym < 1.5e-2
+
+    # exactness of the correction: with a ZERO-width residual (constant
+    # rows), the asym path must reproduce x @ dequant(W) exactly
+    c = jnp.ones((2, 7, 512), jnp.float32) * 3.7
+    deq = q_asym.w_q[...].astype(jnp.float32) * q_asym.w_scale[...]
+    expect = c @ deq + (lin.bias[...] if lin.bias is not None else 0.0)
+    np.testing.assert_allclose(np.asarray(q_asym(c)), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_trunk_policy_selectors():
+    "trunk_policy grammar: scopes, layer tokens, cross/proj disambiguation."
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.nn.quant import quantize_trunk, trunk_policy
+
+    def build():
+        return DUSt3R(
+            name="p", img_size=(64, 64), patch_embed_cls="ManyAR_PatchEmbed",
+            enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
+            info_sharing_dim=64, info_sharing_depth=2, info_sharing_num_heads=4,
+            scan_blocks=True, rngs=nnx.Rngs(0),
+        )
+
+    # stacked layout: 4 encoder layer-types + 8 decoder per branch x 2
+    for spec, expect in [
+        ("all", 20), ("none", 0), ("enc.*", 4), ("dec.*", 16), ("*.mlp", 6),
+        ("*.fc2", 3), ("enc.*,dec.mlp", 8), ("*.qkv,*.mlp", 9),
+        ("dec.cross", 8), ("dec.proj", 2),
+    ]:
+        assert quantize_trunk(build(), spec, min_params=1) == expect, spec
+
+    with pytest.raises(ValueError):
+        trunk_policy("bogus")
+    with pytest.raises(ValueError):
+        trunk_policy("enc.nosuchlayer")
+    with pytest.raises(ValueError):
+        trunk_policy("xyz.fc1")
+
+
+def test_policy_quantized_trunk_still_runs():
+    "A mixed-policy model forwards and the bf16 layers stay nnx.Linear."
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.nn.quant import quantize_trunk
+
+    m = DUSt3R(
+        name="p", img_size=(64, 64), patch_embed_cls="ManyAR_PatchEmbed",
+        enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
+        info_sharing_dim=64, info_sharing_depth=2, info_sharing_num_heads=4,
+        scan_blocks=True, rngs=nnx.Rngs(0),
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    ref1, _ = m.forward_pair(img, img)
+    # *.fc2 = enc fc2 + 2 decoder-branch fc2s; enc.qkv adds one more
+    n = quantize_trunk(m, "*.fc2,enc.qkv", min_params=1)
+    assert n == 4
+    assert isinstance(m.encoder.enc_blocks.mlp.fc2, Int8Linear)
+    assert isinstance(m.encoder.enc_blocks.mlp.fc1, nnx.Linear)
+    out1, _ = m.forward_pair(img, img)
+    rel = float(jnp.linalg.norm(out1["pts3d"] - ref1["pts3d"]) / jnp.linalg.norm(ref1["pts3d"]))
+    assert rel < 5e-2, rel

@@ -28,7 +28,14 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-__all__ = ["Int8Linear", "quantize_linears", "quantize_int8", "force_xla_int8"]
+__all__ = [
+    "Int8Linear",
+    "quantize_linears",
+    "quantize_int8",
+    "force_xla_int8",
+    "quantize_trunk",
+    "trunk_policy",
+]
 
 # Process-wide correctness override: pallas_call does not SPMD-partition,
 # so sharded inference (dp or tp meshes, parallel/inference.py) must pin
@@ -85,6 +92,7 @@ class Int8Linear(nnx.Module):
         w_scale: jnp.ndarray,
         bias: Optional[jnp.ndarray],
         a_scale: Optional[jnp.ndarray] = None,
+        w_colsum: Optional[jnp.ndarray] = None,
     ):
         self.w_q = nnx.Param(w_q)  # (in, out) int8 — or (depth, in, out) when depth-stacked
         self.w_scale = nnx.Param(w_scale)  # (1, out) f32 — or (depth, 1, out)
@@ -97,20 +105,34 @@ class Int8Linear(nnx.Module):
         # abs-max. () f32 when set; None = dynamic (the default — measured
         # as fast as static on v5e, see BASELINE.md).
         self.a_scale = nnx.Param(jnp.asarray(a_scale, jnp.float32)) if a_scale is not None else None
+        # asymmetric-activation mode: per-token ZERO-POINT quantization.
+        # x = m + (x - m) with m = (max + min)/2 per token; the centered
+        # residual uses the full int8 range, which HALVES the activation
+        # quantization error for one-sided distributions (the GELU output
+        # feeding fc2 — the dominant term of the trunk's int8 bill, measured
+        # in BASELINE.md round 4). The exact algebraic correction
+        # m * colsum(W_q * w_scale) is a rank-1 epilogue using this
+        # precomputed (1, out) vector. None = classic symmetric absmax.
+        self.w_colsum = nnx.Param(w_colsum) if w_colsum is not None else None
 
     @classmethod
-    def from_linear(cls, lin: nnx.Linear) -> "Int8Linear":
+    def from_linear(cls, lin: nnx.Linear, asym: Optional[bool] = None) -> "Int8Linear":
         # axis=-2 is the input-features axis for both a plain (in, out)
         # kernel and a depth-stacked (depth, in, out) one (nn/scan.py);
         # a lax.scan over the stacked layout slices axis 0, handing
         # __call__ the same per-step (in, out) int8 + (1, out) scale views.
         w_q, w_scale = quantize_int8(lin.kernel[...], axis=-2)
         bias = lin.bias[...].astype(jnp.float32) if lin.bias is not None else None
-        return cls(w_q, w_scale, bias)
+        if asym is None:
+            asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM", "1") == "1"
+        w_colsum = None
+        if asym:
+            w_colsum = (w_q.astype(jnp.int32).sum(axis=-2, keepdims=True).astype(jnp.float32) * w_scale)
+        return cls(w_q, w_scale, bias, w_colsum=w_colsum)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
-        if self.a_scale is None and _use_pallas_int8(self.in_features):
+        if self.a_scale is None and self.w_colsum is None and _use_pallas_int8(self.in_features):
             # wide-K shapes (fc2-like, K>=4096): the Pallas kernel with the
             # dynamic quant fused in-kernel measures 31% faster than the
             # XLA lowering (456 vs 312 TOP/s, scripts/bench_int8_matmul.py,
@@ -126,8 +148,16 @@ class Int8Linear(nnx.Module):
                 out_dtype=orig_dtype,
             )
         xf = x.astype(jnp.float32)
+        m = None
         if self.a_scale is not None:
             a_scale = self.a_scale[...]  # () static, frozen at calibration
+        elif self.w_colsum is not None:
+            # zero-point mode: center each token into the full int8 range
+            mx = jnp.max(xf, axis=-1, keepdims=True)
+            mn = jnp.min(xf, axis=-1, keepdims=True)
+            m = (mx + mn) * 0.5
+            a_scale = jnp.maximum((mx - mn) * 0.5, 1e-30) / 127.0
+            xf = xf - m
         else:
             a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30) / 127.0
         x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
@@ -138,6 +168,9 @@ class Int8Linear(nnx.Module):
             preferred_element_type=jnp.int32,
         )
         y = y.astype(jnp.float32) * (a_scale * self.w_scale[...])
+        if m is not None:
+            # exact identity: x @ Wq*s = (x - m) @ Wq*s + m * colsum(Wq*s)
+            y = y + m * self.w_colsum[...]
         if self.bias is not None:
             y = y + self.bias[...]
         return y.astype(orig_dtype)
@@ -151,6 +184,84 @@ def _maybe_children(node):
     elif isinstance(node, (list, nnx.List)):
         for i, value in enumerate(list(node)):
             yield (lambda v, n=node, j=i: n.__setitem__(j, v)), str(i), value
+
+
+def trunk_policy(spec: str):
+    """Parse a mixed-precision trunk policy into (enc_pred, dec_pred)
+    predicates for :func:`quantize_linears`.
+
+    Grammar: ``"all"`` | ``"none"`` | comma list of ``scope.layer`` where
+    scope is ``enc`` / ``dec`` / ``*`` and layer is one of ``qkv``,
+    ``proj`` (self-attn out-proj), ``cross`` (all cross-attn projections),
+    ``fc1``, ``fc2``, ``mlp`` (= fc1+fc2), ``*``. Examples::
+
+        "all"                       # every trunk linear (the round-2 default)
+        "enc.*"                     # encoder int8, decoder bf16
+        "*.mlp"                     # fc1+fc2 everywhere, attention projs bf16
+        "enc.*,dec.fc1,dec.fc2"     # full encoder + decoder MLPs
+
+    Depth-uniform by construction, so every policy composes with the
+    scan-over-stacked-blocks layout (one stacked Int8Linear per layer type).
+    Measured (error, throughput) points for the named policies live in
+    BASELINE.md round 4 (scripts/sweep_quant_policy.py).
+    """
+    spec = (spec or "all").strip()
+    if spec == "all":
+        return (lambda p, l: True), (lambda p, l: True)
+    if spec == "none":
+        return (lambda p, l: False), (lambda p, l: False)
+
+    _LAYER_SUBSTR = {
+        "qkv": ("attn.qkv",),
+        "proj": ("attn.proj",),  # matches self-attn out-proj, not cross (below)
+        "cross": ("cross_attn.",),
+        "fc1": ("mlp.fc1",),
+        "fc2": ("mlp.fc2",),
+        "mlp": ("mlp.fc1", "mlp.fc2"),
+    }
+    rules = []
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        try:
+            scope, layer = item.split(".", 1)
+        except ValueError as e:
+            raise ValueError(f"bad policy item {item!r}: expected scope.layer") from e
+        if scope not in ("enc", "dec", "*"):
+            raise ValueError(f"bad policy scope {scope!r} in {item!r}")
+        if layer != "*" and layer not in _LAYER_SUBSTR:
+            raise ValueError(f"bad policy layer {layer!r} in {item!r} (one of {sorted(_LAYER_SUBSTR)})")
+        rules.append((scope, layer))
+
+    def _pred(component):
+        def pred(path, _lin):
+            for scope, layer in rules:
+                if scope not in ("*", component):
+                    continue
+                if layer == "*":
+                    return True
+                subs = _LAYER_SUBSTR[layer]
+                # "proj" must not swallow cross_attn.proj* — cross has its own token
+                if layer == "proj" and "cross_attn." in path:
+                    continue
+                if any(s in path for s in subs):
+                    return True
+            return False
+
+        return pred
+
+    return _pred("enc"), _pred("dec")
+
+
+def quantize_trunk(model: nnx.Module, policy: str = "all", *, min_params: int = 1 << 16) -> int:
+    """Quantize a DUSt3R-style model's trunk (``model.encoder`` +
+    ``model.info_sharing``) under a named mixed-precision policy (see
+    :func:`trunk_policy`). Returns the number of converted linears."""
+    enc_pred, dec_pred = trunk_policy(policy)
+    n = quantize_linears(model.encoder, min_params=min_params, predicate=enc_pred)
+    n += quantize_linears(model.info_sharing, min_params=min_params, predicate=dec_pred)
+    return n
 
 
 def quantize_linears(

@@ -67,8 +67,13 @@ TP_RULES = [
     # row-parallel w_scale is per-output (tiny) and stays replicated.
     (re.compile(r".*\b(qkv|projq|projk|projv)\.w_q$"), P(None, "model")),
     (re.compile(r".*\b(qkv|projq|projk|projv)\.w_scale$"), P(None, "model")),
+    (re.compile(r".*\b(qkv|projq|projk|projv)\.w_colsum$"), P(None, "model")),
     (re.compile(r".*\b(fc1|w12)\.w_q$"), P(None, "model")),
     (re.compile(r".*\b(fc1|w12)\.w_scale$"), P(None, "model")),
+    (re.compile(r".*\b(fc1|w12)\.w_colsum$"), P(None, "model")),
+    # row-parallel w_colsum (fc2/proj) is precomputed from the FULL kernel
+    # and added AFTER the partial-sum reduce (like bias) — stays replicated
+    # (the default rule), so no explicit entries for it here.
     (re.compile(r".*\battn\.proj\.w_q$"), P("model", None)),
     (re.compile(r".*\bcross_attn\.proj\.w_q$"), P("model", None)),
     (re.compile(r".*\b(fc2|w3)\.w_q$"), P("model", None)),

@@ -73,11 +73,15 @@ def main():
     # bf16 weights: inference-serving configuration
     state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
     if QUANT == "int8":
-        from uniception_tpu.nn.quant import quantize_linears
+        from uniception_tpu.nn.quant import quantize_trunk
 
+        # BENCH_QUANT_POLICY: mixed-precision trunk policy (nn/quant.py
+        # trunk_policy grammar; "all" = every trunk linear). The measured
+        # (error, throughput) frontier is in BASELINE.md round 4.
+        policy = os.environ.get("BENCH_QUANT_POLICY", "all")
         model = nnx.merge(graphdef, state)
-        n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
-        print(f"int8-quantized {n_q} trunk linears", file=sys.stderr)
+        n_q = quantize_trunk(model, policy)
+        print(f"int8-quantized {n_q} trunk linears (policy={policy})", file=sys.stderr)
         graphdef, state = nnx.split(model)
 
     def one(state, img1, img2, ts, carry):
@@ -105,16 +109,23 @@ def main():
     float(short(state, img1, img2, ts))  # compile
     float(long(state, img1, img2, ts))
 
+    # N repeats -> median +/- spread: round-over-round drift smaller than the
+    # spread is tunnel weather, not a regression (VERDICT r3 #6)
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
     t_short, t_long = [], []
-    for _ in range(3):
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
         float(short(state, img1, img2, ts))
         t_short.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(long(state, img1, img2, ts))
         t_long.append(time.perf_counter() - t0)
-    per_iter = (min(t_long) - min(t_short)) / ITERS
+    # pair the chained measurements: each (long_i - short_i) is one estimate
+    per_iter_samples = sorted((tl - ts_) / ITERS for tl, ts_ in zip(t_long, t_short))
+    per_iter = per_iter_samples[len(per_iter_samples) // 2]  # median
+    rate_samples = [BATCH / s for s in per_iter_samples]
     pairs_per_sec = BATCH / per_iter
+    spread = (max(rate_samples) - min(rate_samples)) / 2
 
     # analytic flops per pair (fwd) for the MFU-derived baseline estimate
     n_tok = (IMG // 16) ** 2
@@ -133,10 +144,12 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
+        "spread": round(spread, 3),  # +/- half-range over BENCH_REPEATS chained runs
     }
     print(json.dumps(result))
     print(
-        f"batch={BATCH} iters={ITERS} per_fwd={per_iter*1000:.1f}ms flops/pair={flops_per_pair/1e9:.1f}GF "
+        f"batch={BATCH} iters={ITERS} repeats={REPEATS} per_fwd={per_iter*1000:.1f}ms "
+        f"median={pairs_per_sec:.2f}+/-{spread:.2f}pairs/s flops/pair={flops_per_pair/1e9:.1f}GF "
         f"achieved={flops_per_pair*pairs_per_sec/1e12:.1f}TF/s baseline_est={baseline_pairs_per_sec:.2f}pairs/s",
         file=sys.stderr,
     )

@@ -34,14 +34,15 @@ def main():
     set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
     set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))
     IMG = int(os.environ.get("BENCH_IMG", "512"))
+    HEAD = os.environ.get("BENCH_HEAD", "linear")  # linear | dpt (the reference flagship 512-dpt)
     BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # fastest measured: b2 no-remat 11.9 pairs/s
     ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 
     model = DUSt3R(
-        name="dust3r_512_linear",
+        name=f"dust3r_512_{HEAD}",
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
-        pred_head_type="linear",
+        pred_head_type=HEAD,
         gradient_checkpointing=os.environ.get("BENCH_REMAT", "0") == "1",
         scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
         dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
@@ -133,7 +134,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "dust3r_vitl_512_linear_train_pairs_per_sec",
+                    "metric": f"dust3r_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
                     "value": round(BATCH / per_step, 3),
                     "unit": "pairs/s/chip",
                 }
@@ -158,7 +159,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dust3r_vitl_512_linear_train_pairs_per_sec",
+                "metric": f"dust3r_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s/chip",
             }

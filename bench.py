@@ -76,12 +76,15 @@ def main():
         from uniception_tpu.nn.quant import quantize_trunk
 
         # BENCH_QUANT_POLICY: mixed-precision trunk policy (nn/quant.py
-        # trunk_policy grammar; "all" = every trunk linear). The measured
+        # trunk_policy grammar; "all" = every trunk linear). BENCH_QUANT_ASYM:
+        # which of those use zero-point activation quant (default *.fc2 — the
+        # one-sided GELU input; 'none' = round-3 all-symmetric). The measured
         # (error, throughput) frontier is in BASELINE.md round 4.
         policy = os.environ.get("BENCH_QUANT_POLICY", "all")
+        asym = os.environ.get("BENCH_QUANT_ASYM", None)
         model = nnx.merge(graphdef, state)
-        n_q = quantize_trunk(model, policy)
-        print(f"int8-quantized {n_q} trunk linears (policy={policy})", file=sys.stderr)
+        n_q = quantize_trunk(model, policy, asym=asym)
+        print(f"int8-quantized {n_q} trunk linears (policy={policy}, asym={asym or '*.fc2'})", file=sys.stderr)
         graphdef, state = nnx.split(model)
 
     def one(state, img1, img2, ts, carry):

@@ -53,10 +53,10 @@ def main():
         graphdef, state = nnx.split(model)
         state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
         if args.quant == "int8":
-            from uniception_tpu.nn.quant import quantize_linears
+            from uniception_tpu.nn.quant import quantize_trunk
 
             model = nnx.merge(graphdef, state)
-            n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
+            n_q = quantize_trunk(model, "all")
             print(f"int8-quantized {n_q} trunk linears")
             graphdef, state = nnx.split(model)
 

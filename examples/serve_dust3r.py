@@ -54,6 +54,17 @@ def parse_args():
     p.add_argument("--dec-heads", type=int, default=12)
     p.add_argument("--int8", action="store_true", help="w8a8-quantize the trunk linears (production serving config)")
     p.add_argument(
+        "--int8-policy",
+        default="all",
+        help="(--int8) mixed-precision trunk policy (nn/quant.py trunk_policy grammar)",
+    )
+    p.add_argument(
+        "--int8-asym",
+        default="*.fc2",
+        help="(--int8) which quantized layers use zero-point activation quant "
+        "(same grammar; 'none' = all symmetric, the round-3 layout)",
+    )
+    p.add_argument(
         "--buckets",
         action="store_true",
         help="serve arbitrary-size pairs via aspect bucketing (data/bucketing.py): "
@@ -165,12 +176,19 @@ def _build_model(args, img_size=None, landscape_only=False):
                 # --serving --int8): construct the Int8Linear module tree
                 # abstractly (quantize math traces inside eval_shape, nothing
                 # executes) and fill it straight from the int8 arrays
-                from uniception_tpu.nn.quant import quantize_linears
+                from uniception_tpu.nn.quant import quantize_trunk
+
+                # the module tree must match the stored arrays exactly:
+                # policy decides which layers are Int8Linear, asym which of
+                # those carry w_colsum. Old (round-3) checkpoints predate
+                # the keys -> all-layer symmetric, their exact layout.
+                q_policy = ckpt_meta.get("quant_policy", "all")
+                q_asym = ckpt_meta.get("quant_asym", "none")
+                args._quant_spec = (q_policy, q_asym)
 
                 def ctor_q():
                     m = ctor()
-                    quantize_linears(m.encoder)
-                    quantize_linears(m.info_sharing)
+                    quantize_trunk(m, q_policy, asym=q_asym)
                     return m
 
                 model = abstract_construct(ctor_q)
@@ -198,11 +216,12 @@ def _build_model(args, img_size=None, landscape_only=False):
         graphdef, state = nnx.split(model)
         state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
     if args.int8 and not pre_quantized:
-        from uniception_tpu.nn.quant import quantize_linears
+        from uniception_tpu.nn.quant import quantize_trunk
 
         model = nnx.merge(graphdef, state)
-        n_q = quantize_linears(model.encoder) + quantize_linears(model.info_sharing)
-        print(f"int8-quantized {n_q} trunk linears")
+        n_q = quantize_trunk(model, args.int8_policy, asym=args.int8_asym)
+        args._quant_spec = (args.int8_policy, args.int8_asym)
+        print(f"int8-quantized {n_q} trunk linears (policy={args.int8_policy}, asym={args.int8_asym})")
         graphdef, state = nnx.split(model)
     return graphdef, state
 
@@ -292,7 +311,10 @@ def serve_bucketed(args):
         return _bucket_loop(args, buckets, state, get_infer)
 
     graphdef, state = _build_model(args, img_size=buckets[0], landscape_only=True)
-    int8_active = any(".w_q." in p or p.endswith(".w_q.value") for p in state_paths(state))
+    # _build_model records the exact (policy, asym) it quantized with (online
+    # flagged or from checkpoint metadata) so every per-bucket graphdef
+    # reconstructs the same Int8Linear/w_colsum layout
+    quant_spec = getattr(args, "_quant_spec", None)
 
     def graphdef_for(hw):
         if hw == buckets[0]:
@@ -300,11 +322,10 @@ def serve_bucketed(args):
 
         def ctor_b():
             m = _make_model(args, img_size=hw, landscape_only=True)
-            if int8_active:
-                from uniception_tpu.nn.quant import quantize_linears
+            if quant_spec is not None:
+                from uniception_tpu.nn.quant import quantize_trunk
 
-                quantize_linears(m.encoder)
-                quantize_linears(m.info_sharing)
+                quantize_trunk(m, quant_spec[0], asym=quant_spec[1])
             return m
 
         gd, _ = nnx.split(abstract_construct(ctor_b))

@@ -114,6 +114,18 @@ def main():
         "serving cold-start skips the quantization pass and reads int8 weights "
         "(~2x fewer trunk bytes than bf16); scales stay f32",
     )
+    parser.add_argument(
+        "--int8-policy",
+        default="all",
+        help="(--int8) mixed-precision trunk policy (nn/quant.py trunk_policy "
+        "grammar); layers outside the policy stay bf16",
+    )
+    parser.add_argument(
+        "--int8-asym",
+        default="*.fc2",
+        help="(--int8) which quantized layers use zero-point (asymmetric) "
+        "activation quantization (same grammar; 'none' = all symmetric)",
+    )
     args = parser.parse_args()
 
     ckpt = load_checkpoint(args.input)
@@ -169,15 +181,24 @@ def main():
         load_torch_state_dict(m, model, ignore=m.checkpoint_alias_patterns(), to_device=False)
         save_dtype = None if args.f32 else jnp.bfloat16
         if args.int8:
-            from uniception_tpu.nn.quant import quantize_linears
+            from uniception_tpu.nn.quant import quantize_trunk
 
             # mirror the online serving order exactly (examples/serve_dust3r.py):
             # cast params to the serving dtype FIRST, then quantize — so the
-            # offline w_q/w_scale are bit-identical to what quantize_linears
+            # offline w_q/w_scale are bit-identical to what quantize_trunk
             # would produce at serve time, with scales in f32
             m = materialize(m, param_dtype=save_dtype)
-            n_q = quantize_linears(m.encoder) + quantize_linears(m.info_sharing)
-            meta = {**meta, "quant": "int8-w8a8-dynamic", "quant_layers": n_q}
+            n_q = quantize_trunk(m, args.int8_policy, asym=args.int8_asym)
+            meta = {
+                **meta,
+                "quant": "int8-w8a8-dynamic",
+                "quant_layers": n_q,
+                # recorded so the serve loader reconstructs the SAME module
+                # tree (policy decides which layers are Int8Linear; asym
+                # decides which of those carry a w_colsum leaf)
+                "quant_policy": args.int8_policy,
+                "quant_asym": args.int8_asym,
+            }
             save_dtype = None  # per-leaf dtypes are already the serving dtypes
         save_native_state(args.output, m, dtype=save_dtype, **meta)
         kind = "int8" if args.int8 else ("f32" if args.f32 else "bf16")

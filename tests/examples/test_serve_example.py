@@ -122,9 +122,10 @@ def _build(cfg, **over):
 @pytest.mark.slow_subprocess
 def test_convert_serving_int8_offline_matches_online(tmp_path):
     """--serving --int8 writes offline-quantized weights that serve
-    bit-identically to online quantize_linears at serve time, in the
-    packed .nsv container."""
-    from uniception_tpu.nn.quant import quantize_linears
+    bit-identically to online quantize_trunk at serve time, in the
+    packed .nsv container (default policy=all, asym=*.fc2 — the converter
+    records both in metadata and the serve loader reconstructs from them)."""
+    from uniception_tpu.nn.quant import quantize_trunk
     from uniception_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
     from uniception_tpu.utils.coldstart import (
         abstract_construct,
@@ -154,19 +155,21 @@ def test_convert_serving_int8_offline_matches_online(tmp_path):
     ckpt = load_checkpoint(src)
     load_torch_state_dict(m_on, ckpt["model"], ignore=m_on.checkpoint_alias_patterns(), to_device=False, verbose=False)
     m_on = materialize(m_on, param_dtype=jnp.bfloat16)
-    n_q = quantize_linears(m_on.encoder) + quantize_linears(m_on.info_sharing)
+    n_q = quantize_trunk(m_on, "all")
     assert n_q > 0
 
-    # offline path: abstract Int8Linear tree filled from the int8 checkpoint
+    # offline path: abstract Int8Linear tree filled from the int8 checkpoint,
+    # reconstructing the module tree from the RECORDED policy metadata
+    arrays, meta = load_native_state(native)
+    assert meta["quant"] == "int8-w8a8-dynamic" and meta["quant_layers"] == n_q
+    assert meta["quant_policy"] == "all" and meta["quant_asym"] == "*.fc2"
+
     def ctor_q():
         m = _build(cfg)
-        quantize_linears(m.encoder)
-        quantize_linears(m.info_sharing)
+        quantize_trunk(m, meta["quant_policy"], asym=meta["quant_asym"])
         return m
 
     m_off = abstract_construct(ctor_q)
-    arrays, meta = load_native_state(native)
-    assert meta["quant"] == "int8-w8a8-dynamic" and meta["quant_layers"] == n_q
     m_off = materialize(m_off, arrays=arrays, param_dtype=jnp.bfloat16)
 
     # int8 leaves present and scales stayed f32

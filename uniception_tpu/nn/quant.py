@@ -124,7 +124,7 @@ class Int8Linear(nnx.Module):
         w_q, w_scale = quantize_int8(lin.kernel[...], axis=-2)
         bias = lin.bias[...].astype(jnp.float32) if lin.bias is not None else None
         if asym is None:
-            asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM", "1") == "1"
+            asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM", "0") == "1"
         w_colsum = None
         if asym:
             w_colsum = (w_q.astype(jnp.int32).sum(axis=-2, keepdims=True).astype(jnp.float32) * w_scale)
@@ -254,13 +254,31 @@ def trunk_policy(spec: str):
     return _pred("enc"), _pred("dec")
 
 
-def quantize_trunk(model: nnx.Module, policy: str = "all", *, min_params: int = 1 << 16) -> int:
+def quantize_trunk(
+    model: nnx.Module,
+    policy: str = "all",
+    *,
+    asym: Optional[str] = None,
+    min_params: int = 1 << 16,
+) -> int:
     """Quantize a DUSt3R-style model's trunk (``model.encoder`` +
     ``model.info_sharing``) under a named mixed-precision policy (see
-    :func:`trunk_policy`). Returns the number of converted linears."""
+    :func:`trunk_policy`). Returns the number of converted linears.
+
+    asym: a second policy spec selecting WHICH quantized layers use the
+        zero-point (asymmetric-activation) mode. Default: the
+        ``UNICEPTION_TPU_INT8_ASYM_POLICY`` env var, falling back to
+        ``"*.fc2"`` — fc2's input is the one-sided GELU output where
+        centering halves the activation error, while the near-symmetric
+        qkv/proj/fc1 inputs keep the cheaper symmetric path (and the
+        Pallas wide-K route). Measured frontier: BASELINE.md round 4.
+    """
+    if asym is None:
+        asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM_POLICY", "*.fc2")
     enc_pred, dec_pred = trunk_policy(policy)
-    n = quantize_linears(model.encoder, min_params=min_params, predicate=enc_pred)
-    n += quantize_linears(model.info_sharing, min_params=min_params, predicate=dec_pred)
+    enc_asym, dec_asym = trunk_policy(asym)
+    n = quantize_linears(model.encoder, min_params=min_params, predicate=enc_pred, asym=enc_asym)
+    n += quantize_linears(model.info_sharing, min_params=min_params, predicate=dec_pred, asym=dec_asym)
     return n
 
 
@@ -269,6 +287,7 @@ def quantize_linears(
     *,
     min_params: int = 1 << 16,
     predicate: Optional[Callable[[str, nnx.Linear], bool]] = None,
+    asym: Optional[Callable[[str, nnx.Linear], bool]] = None,
     _path: str = "",
 ) -> int:
     """Replace every large ``nnx.Linear`` under ``module`` (in place) with an
@@ -278,6 +297,9 @@ def quantize_linears(
         nothing and lose accuracy).
     predicate: optional ``(dotted_path, linear) -> bool`` filter applied on
         top of the size threshold.
+    asym: optional per-layer ``(dotted_path, linear) -> bool`` selecting the
+        zero-point activation mode; None falls back to the
+        ``UNICEPTION_TPU_INT8_ASYM`` process-wide default in ``from_linear``.
     """
     count = 0
     for setter, name, child in _maybe_children(module):
@@ -285,8 +307,10 @@ def quantize_linears(
         if isinstance(child, nnx.Linear):
             k = child.kernel[...]
             if k.size >= min_params and (predicate is None or predicate(child_path, child)):
-                setter(Int8Linear.from_linear(child))
+                setter(Int8Linear.from_linear(child, asym=None if asym is None else asym(child_path, child)))
                 count += 1
         elif isinstance(child, (nnx.Module, list, nnx.List)) and not isinstance(child, Int8Linear):
-            count += quantize_linears(child, min_params=min_params, predicate=predicate, _path=child_path)
+            count += quantize_linears(
+                child, min_params=min_params, predicate=predicate, asym=asym, _path=child_path
+            )
     return count

@@ -52,6 +52,16 @@ def main():
     # Parity vs the bf16 path is gated in tests/nn/test_quant.py and the
     # measured full-model bound is recorded in BASELINE.md.
     QUANT = os.environ.get("BENCH_QUANT", "int8")
+    # BENCH_TIER=f32_gate: the gate-passing precision rung of the ladder —
+    # f32 params, matmul precision "highest", exact GELU, XLA attention
+    # (the exact numerics that pass the reference's abs<1e-2/rel<1e-3 golden
+    # thresholds in tests/models/test_dust3r_fullsize.py). Used to price the
+    # strict-parity tier; see BASELINE.md round-4 precision ladder.
+    TIER = os.environ.get("BENCH_TIER", "serving")
+    if TIER == "f32_gate":
+        QUANT = "none"
+        set_attention_impl("xla")
+        set_gelu_mode("exact")
 
     HEAD = os.environ.get("BENCH_HEAD", "linear")  # linear | dpt (the reference's flagship 512-dpt)
     # BENCH_HEAD_DTYPE=bf16 runs the heads in bf16 (opt-in; default keeps the
@@ -63,15 +73,18 @@ def main():
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type=HEAD,
         head_dtype=HEAD_DTYPE,
-        dtype=jnp.bfloat16,
+        dtype=jnp.float32 if TIER == "f32_gate" else jnp.bfloat16,
         # scan layout: trace-once trunk, ~7x faster TPU compiles AND measured
         # faster at runtime (70.0 vs 67.0 pairs/s int8 b2); BENCH_SCAN=0 for loop
         scan_blocks=os.environ.get("BENCH_SCAN", "1") == "1",
         rngs=nnx.Rngs(0),
     )
     graphdef, state = nnx.split(model)
-    # bf16 weights: inference-serving configuration
-    state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
+    if TIER == "f32_gate":
+        jax.config.update("jax_default_matmul_precision", "highest")
+    else:
+        # bf16 weights: inference-serving configuration
+        state = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state)
     if QUANT == "int8":
         from uniception_tpu.nn.quant import quantize_trunk
 

@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--policies", default=";".join(DEFAULT_POLICIES))
+    ap.add_argument(
+        "--asym",
+        default=None,
+        help="asym spec passed to quantize_trunk (default: its own default, "
+        "*.fc2; 'none' = all-symmetric round-3 layout; 'all' = zero-point everywhere)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -102,7 +108,7 @@ def main():
         if not spec:
             continue
         model = nnx.merge(gd, st_bf16)
-        n_q = quantize_trunk(model, spec)
+        n_q = quantize_trunk(model, spec, asym=args.asym)
         outs = run(model)
         cells = "  ".join(
             f"{rel(outs[i], ref[i]):.3e} {rel(outs[i], bf16[i]):.3e}" for i in range(3)

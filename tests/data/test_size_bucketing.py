@@ -88,6 +88,7 @@ def test_batcher_groups_pads_and_keys():
     np.testing.assert_array_equal(canvas2[0], canvas2[1])
 
 
+@pytest.mark.slow
 def test_bucketed_serving_matches_per_sample_runs():
     """End-to-end plumbing: a mixed-size mixed-orientation stream through the
     batcher, per-bucket forward of a landscape_only DUSt3R, and every valid

@@ -123,7 +123,7 @@ def _build(cfg, **over):
 def test_convert_serving_int8_offline_matches_online(tmp_path):
     """--serving --int8 writes offline-quantized weights that serve
     bit-identically to online quantize_trunk at serve time, in the
-    packed .nsv container (default policy=all, asym=*.fc2 — the converter
+    packed .nsv container (default policy=all, asym=none — the converter
     records both in metadata and the serve loader reconstructs from them)."""
     from uniception_tpu.nn.quant import quantize_trunk
     from uniception_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -162,7 +162,7 @@ def test_convert_serving_int8_offline_matches_online(tmp_path):
     # reconstructing the module tree from the RECORDED policy metadata
     arrays, meta = load_native_state(native)
     assert meta["quant"] == "int8-w8a8-dynamic" and meta["quant_layers"] == n_q
-    assert meta["quant_policy"] == "all" and meta["quant_asym"] == "*.fc2"
+    assert meta["quant_policy"] == "all" and meta["quant_asym"] == "none"
 
     def ctor_q():
         m = _build(cfg)

@@ -13,6 +13,8 @@ the reference converter performs
 import os
 import sys
 
+import pytest
+
 import numpy as np
 from flax import nnx
 
@@ -97,6 +99,7 @@ def test_roundtrip_linear():
     _roundtrip("linear", info_sharing_depth=2)
 
 
+@pytest.mark.slow
 def test_roundtrip_dpt():
     # factory hardcodes DPT hooks [5, 8] (reference factory/dust3r.py:134-144),
     # so the info-sharing depth must cover them

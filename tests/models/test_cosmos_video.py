@@ -52,6 +52,7 @@ def test_patcher3d_parity(method):
     assert np.abs(t_u - j_u).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_causal_encoder_decoder_base_parity():
     import torch
     from uniception.models.libs.cosmos_tokenizer.modules.layers3d import DecoderBase as TDec

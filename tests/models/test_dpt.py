@@ -140,7 +140,7 @@ def test_dpt_double_upsampling_parity():
     assert err < 5e-5, f"max abs err {err}"
 
 
-@pytest.mark.parametrize("head_type", ["regression", "semseg"])
+@pytest.mark.parametrize("head_type", ["regression", pytest.param("semseg", marks=pytest.mark.slow)])
 def test_dpt_output_adapter_parity(head_type):
     import torch
     from uniception.models.libs.croco.dpt_block import DPTOutputAdapter as TAdapter
@@ -178,6 +178,7 @@ def test_dpt_output_adapter_parity(head_type):
     assert err < 2e-4, f"{head_type} err {err}"
 
 
+@pytest.mark.slow
 def test_dpt_feature_checkpoint_gradient_matches():
     "checkpoint_gradient must not change outputs or grads."
     import jax

@@ -25,6 +25,7 @@ def test_eradio_window_size_selection():
     assert m.set_optimal_window_size((64, 96)) == 1
 
 
+@pytest.mark.slow
 def test_eradio_forward_shapes_and_grad():
     m = ERadio("e-radio_v2-test", rngs=nnx.Rngs(0))
     m.set_optimal_window_size((64, 64))
@@ -51,6 +52,7 @@ def test_eradio_forward_shapes_and_grad():
     assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
 
 
+@pytest.mark.slow
 def test_eradio_wrapper_integration():
     from uniception_tpu.models.encoders.radio import RADIOEncoder
 

@@ -50,7 +50,7 @@ def _mixed_batch(seed):
     return jnp.asarray(canvas), jnp.asarray(ts), jnp.asarray(land[None]), jnp.asarray(port[None])
 
 
-@pytest.mark.parametrize("head", ["linear", "dpt"])
+@pytest.mark.parametrize("head", ["linear", pytest.param("dpt", marks=pytest.mark.slow)])
 def test_mixed_orientation_rows_match_native_runs(head):
     img1, ts1, land1, port1 = _mixed_batch(0)
     img2, ts2, land2, port2 = _mixed_batch(1)
@@ -122,6 +122,7 @@ def test_pack_extract_roundtrip_through_model():
     np.testing.assert_allclose(native, np.asarray(ref_p["pts3d"][0]), rtol=1e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gradients_through_mixed_batch_match_native():
     """Training oracle: d(loss on the portrait row)/d(input) through the
     mixed ManyAR batch equals the native-orientation run's input gradient

@@ -29,6 +29,7 @@ def test_image_tokenizer_di():
     assert recon.shape == (1, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_video_tokenizer_cv():
     tok = CausalVideoTokenizer("CV", spatial_compression=8, temporal_compression=4)
     x = np.random.RandomState(0).randn(1, 3, 5, 32, 32).astype(np.float32).clip(-1, 1)

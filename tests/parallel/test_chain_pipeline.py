@@ -68,7 +68,7 @@ def test_generic_chain_matches_sequential():
         np.testing.assert_array_equal(np.asarray(oi), np.asarray(refi))
 
 
-@pytest.mark.parametrize("head", ["linear", "dpt"])
+@pytest.mark.parametrize("head", ["linear", pytest.param("dpt", marks=pytest.mark.slow)])
 def test_dust3r_chain_matches_forward_pair(head):
     "3-stage DUSt3R chain == forward_pair (tight tol: jit-boundary fusion), params per-device."
     cfg = dict(SMALL)

@@ -31,7 +31,10 @@ def _stacked(depth, dim=32, heads=4, rope=False, seed=0):
     )
 
 
-@pytest.mark.parametrize("stages,microbatches", [(4, 4), (4, 2), (2, 8)])
+@pytest.mark.parametrize(
+    "stages,microbatches",
+    [(4, 4), pytest.param(4, 2, marks=pytest.mark.slow), pytest.param(2, 8, marks=pytest.mark.slow)],
+)
 def test_pipeline_matches_scan(stages, microbatches):
     stacked = _stacked(depth=8)
     x = jnp.asarray(np.random.RandomState(0).randn(8, 16, 32).astype(np.float32))
@@ -41,6 +44,7 @@ def test_pipeline_matches_scan(stages, microbatches):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_with_broadcast_args_rope():
     "Per-microbatch broadcast args (RoPE positions) route to the right stage."
     stacked = _stacked(depth=4, rope=True)
@@ -72,6 +76,7 @@ def test_pipeline_under_jit_with_sharded_params():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_gradients_match_scan():
     "PP is training-capable: autodiff through the shard_map/ppermute schedule."
     stacked = _stacked(depth=4, dim=32)
@@ -96,6 +101,7 @@ def test_pipeline_gradients_match_scan():
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_croco_encoder():
     "Model-path integration: CroCo scan encoder blocks run pipelined."
     from uniception_tpu.models.encoders.base import ViTEncoderInput
@@ -128,7 +134,9 @@ def _mesh2(stages, data):
     return Mesh(devs, ("stage", "data"))
 
 
-@pytest.mark.parametrize("stages,data,microbatches", [(2, 4, 4), (4, 2, 4)])
+@pytest.mark.parametrize(
+    "stages,data,microbatches", [(2, 4, 4), pytest.param(4, 2, 4, marks=pytest.mark.slow)]
+)
 def test_pipeline_dp_composition_matches_scan(stages, data, microbatches):
     """pp x dp on a ("stage", "data") mesh: microbatches batch-sharded over
     the data axis within each stage — the deployable pod layout."""
@@ -141,6 +149,7 @@ def test_pipeline_dp_composition_matches_scan(stages, data, microbatches):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_dp_gradients_match_scan():
     "pp x dp is training-capable: grads through the 2-axis shard_map schedule."
     stacked = _stacked(depth=4, dim=32)
@@ -198,6 +207,7 @@ def test_pipeline_3d_pp_dp_tp_matches_scan():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_pp_tp_gradients_match_scan():
     "pp x tp (no dp) is training-capable through the partial-manual shard_map."
     stacked = _stacked(depth=4, dim=32)

@@ -16,7 +16,7 @@ from uniception_tpu.parallel.ring_attention import ring_attention_sharded
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
 
-@pytest.mark.parametrize("n_tokens", [256, 512])
+@pytest.mark.parametrize("n_tokens", [256, pytest.param(512, marks=pytest.mark.slow)])
 def test_ring_attention_matches_full(n_tokens):
     rng = np.random.RandomState(0)
     B, H, D = 2, 4, 32

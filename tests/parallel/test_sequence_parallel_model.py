@@ -80,6 +80,7 @@ def test_sequence_parallel_under_jit():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sequence_parallel_transformer_grads_match_unsharded():
     """SP for training: parameter gradients of the global-attention
     transformer under the ring must match the dense path <= 1e-4.

@@ -68,6 +68,7 @@ def test_tp_sharded_matches_single_device(model_and_inputs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_multichip_train_step_runs():
     from __graft_entry__ import dryrun_multichip
 

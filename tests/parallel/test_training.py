@@ -22,7 +22,7 @@ SMALL = dict(
 )
 
 
-@pytest.mark.parametrize("model_axis,use_tp", [(1, False), (2, True)])
+@pytest.mark.parametrize("model_axis,use_tp", [(1, False), pytest.param(2, True, marks=pytest.mark.slow)])
 def test_train_step_decreases_loss(model_axis, use_tp):
     model = DUSt3R(name="train_test", rngs=nnx.Rngs(0), **SMALL)
     ctx, params, opt_state = make_train_step(
@@ -47,6 +47,7 @@ def test_train_step_decreases_loss(model_axis, use_tp):
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
 
+@pytest.mark.slow
 def test_zero1_matches_unsharded_and_shards_moments():
     """ZeRO-1 must change the optimizer-state layout, not the math: the
     loss trajectory equals the replicated-optimizer run, and the Adam
@@ -81,7 +82,7 @@ def test_zero1_matches_unsharded_and_shards_moments():
     assert dev_counts == {8}, f"sharded moments should span all 8 devices: {dev_counts}"
 
 
-@pytest.mark.parametrize("model_axis,use_tp", [(1, False), (2, True)])
+@pytest.mark.parametrize("model_axis,use_tp", [(1, False), pytest.param(2, True, marks=pytest.mark.slow)])
 def test_fsdp_matches_replicated_and_shards_params(model_axis, use_tp):
     """FSDP must change the parameter layout, not the math: the loss
     trajectory matches the replicated run, the params come back from the
@@ -134,6 +135,7 @@ def test_fsdp_matches_replicated_and_shards_params(model_axis, use_tp):
     assert n_data_o > 0 and frac_o < 0.5
 
 
+@pytest.mark.slow
 def test_fsdp_with_grad_accum_matches_replicated():
     """fsdp composes with optax.MultiSteps: the accumulator state mirrors
     the (sharded) params, so the same largest-free-axis rule must shard it
@@ -164,6 +166,7 @@ def test_fsdp_with_grad_accum_matches_replicated():
     ), "no parameter leaf is data-sharded after the accumulated step"
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_matches_no_remat():
     "remat must change memory, not math: identical loss and grads."
     rng = np.random.RandomState(0)
@@ -192,6 +195,7 @@ def test_gradient_checkpointing_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_save_restore_continue_matches_uninterrupted(tmp_path):
     """save -> restore -> continue must equal uninterrupted training: the
     checkpoint round-trips params, optimizer moments AND the step counter
@@ -273,6 +277,7 @@ def test_normalized_loss_is_scale_invariant():
         np.testing.assert_allclose(float(s[b, 0, 0, 0]), db.mean(), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_clip_grad_norm_and_metrics():
     """clip_grad_norm bounds the update's global norm exactly (proven with
     SGD, where update = lr * clipped_grad); metrics=True reports the
@@ -315,6 +320,7 @@ def test_clip_grad_norm_and_metrics():
     np.testing.assert_allclose(un_clipped, lr * clip, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_skip_nonfinite_preserves_state_on_nan_batch():
     """A NaN batch under skip_nonfinite leaves params bit-unchanged; the
     next finite batch trains normally. Without the guard, one NaN batch
@@ -346,6 +352,7 @@ def test_skip_nonfinite_preserves_state_on_nan_batch():
     assert changed, "finite batch after a skipped one must update params"
 
 
+@pytest.mark.slow
 def test_ema_update_math_and_usage():
     "EMA helper: exact math on a toy pytree, and in-loop usage over real steps."
     from uniception_tpu.parallel.training import ema_init, ema_update
@@ -433,7 +440,7 @@ def test_multiview_loss_matches_pairwise_and_is_scale_invariant():
     np.testing.assert_allclose(float(base), float(scaled), rtol=1e-5)
 
 
-@pytest.mark.parametrize("attention_type", ["global", "alternating"])
+@pytest.mark.parametrize("attention_type", ["global", pytest.param("alternating", marks=pytest.mark.slow)])
 def test_multiview_training_step_decreases_loss(attention_type):
     """The train-step factory is not DUSt3R-pair-specific: an N-view
     VGGT-style model (factory/multiview.py) trains through it by packing
@@ -475,6 +482,7 @@ def test_multiview_training_step_decreases_loss(attention_type):
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
 
+@pytest.mark.slow
 def test_trainable_freezes_encoder_and_matches_unfrozen_updates():
     """trainable= predicate: frozen leaves bit-identical across steps, no
     moments allocated for them, and the FIRST step's trainable-leaf values
@@ -532,6 +540,7 @@ def test_trainable_freezes_encoder_and_matches_unfrozen_updates():
     assert n_elems(opt_u) - n_elems(opt_f) >= 2 * n_frozen  # mu + nu per frozen leaf
 
 
+@pytest.mark.slow
 def test_trainable_composes_with_fsdp():
     """Frozen encoder under FSDP: params stay data-sharded across donated
     steps, frozen leaves stay bit-identical, loss decreases."""

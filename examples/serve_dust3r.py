@@ -60,9 +60,9 @@ def parse_args():
     )
     p.add_argument(
         "--int8-asym",
-        default="*.fc2",
+        default="none",
         help="(--int8) which quantized layers use zero-point activation quant "
-        "(same grammar; 'none' = all symmetric, the round-3 layout)",
+        "(same grammar; default all-symmetric — the measured frontier default)",
     )
     p.add_argument(
         "--buckets",

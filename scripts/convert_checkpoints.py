@@ -122,9 +122,10 @@ def main():
     )
     parser.add_argument(
         "--int8-asym",
-        default="*.fc2",
+        default="none",
         help="(--int8) which quantized layers use zero-point (asymmetric) "
-        "activation quantization (same grammar; 'none' = all symmetric)",
+        "activation quantization (same grammar; default all-symmetric — "
+        "the measured frontier default, BASELINE.md round 4)",
     )
     args = parser.parse_args()
 

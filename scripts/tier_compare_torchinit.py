@@ -86,6 +86,16 @@ def main():
         r = float(np.linalg.norm(out - ref_pts) / np.linalg.norm(ref_pts))
         print(f"{label:<28} pts3d abs={a:.3e} rel={r:.3e}", flush=True)
 
+    # the f32_gate rung: the exact BENCH_TIER=f32_gate numerics (scan layout,
+    # f32 params, matmul precision highest, exact GELU, XLA attention) must
+    # pass the reference's golden thresholds (abs<1e-2, rel<1e-3)
+    from uniception_tpu.models.utils.config import set_gelu_mode
+
+    set_gelu_mode("exact")
+    with jax.default_matmul_precision("highest"):
+        bill(nnx.merge(gd, st), "f32_gate (scan, highest)")
+    set_gelu_mode(os.environ.get("UNICEPTION_TPU_GELU", "exact"))
+
     bill(nnx.merge(gd, st_bf16), "bf16+scan")
     for label, policy, asym in [
         ("int8 all sym", "all", "none"),

@@ -268,13 +268,14 @@ def quantize_trunk(
     asym: a second policy spec selecting WHICH quantized layers use the
         zero-point (asymmetric-activation) mode. Default: the
         ``UNICEPTION_TPU_INT8_ASYM_POLICY`` env var, falling back to
-        ``"*.fc2"`` — fc2's input is the one-sided GELU output where
-        centering halves the activation error, while the near-symmetric
-        qkv/proj/fc1 inputs keep the cheaper symmetric path (and the
-        Pallas wide-K route). Measured frontier: BASELINE.md round 4.
+        ``"none"`` (all symmetric): asym on fc2 halves that layer's
+        activation error in isolation, but the full-model bill is
+        weight-quant dominated (1.95e-2 -> 1.88e-2 at torch init) while
+        costing 3.5% throughput (min/max VPU work + losing the Pallas
+        wide-K route) — measured frontier in BASELINE.md round 4.
     """
     if asym is None:
-        asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM_POLICY", "*.fc2")
+        asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM_POLICY", "none")
     enc_pred, dec_pred = trunk_policy(policy)
     enc_asym, dec_asym = trunk_policy(asym)
     n = quantize_linears(model.encoder, min_params=min_params, predicate=enc_pred, asym=enc_asym)

@@ -86,7 +86,15 @@ def main():
     ap.add_argument("--zero1", action="store_true", help="shard optimizer state over the data axis")
     ap.add_argument("--fsdp", action="store_true", help="shard parameters (and moments) over the data axis (ZeRO-3)")
     ap.add_argument("--grad-accum", type=int, default=1)
-    ap.add_argument("--remat", action="store_true", help="gradient checkpointing")
+    ap.add_argument("--head", choices=["linear", "dpt"], default="linear", help="prediction head family")
+    ap.add_argument("--remat", action="store_true", help="gradient checkpointing (trunk + heads)")
+    ap.add_argument(
+        "--head-remat",
+        choices=["follow", "on", "off"],
+        default="follow",
+        help="DPT-head remat override: their fp32 full-res activations, not the "
+        "trunk, set the dpt memory boundary (BASELINE.md round-4 dpt ledger)",
+    )
     ap.add_argument("--scan", action="store_true", help="scan-over-stacked-blocks layout")
     ap.add_argument("--bf16", action="store_true", help="bf16 compute (fp32 params)")
     ap.add_argument("--mu-bf16", action="store_true", help="bf16 adamw first moment (halves its optimizer HBM traffic)")
@@ -179,6 +187,7 @@ def main():
         img_size=canvas,
         patch_embed_cls="ManyAR_PatchEmbed" if args.mixed_ar else "PatchEmbedDust3R",
         landscape_only=args.mixed_ar,
+        pred_head_type=args.head,
         enc_embed_dim=args.embed_dim,
         enc_depth=args.depth,
         enc_num_heads=args.heads,
@@ -186,6 +195,7 @@ def main():
         info_sharing_depth=args.depth,
         info_sharing_num_heads=args.heads,
         gradient_checkpointing=args.remat,
+        head_gradient_checkpointing={"follow": None, "on": True, "off": False}[args.head_remat],
         scan_blocks=args.scan,
         dtype=jnp.bfloat16 if args.bf16 else None,
         rngs=nnx.Rngs(0),

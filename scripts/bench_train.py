@@ -38,12 +38,17 @@ def main():
     BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # fastest measured: b2 no-remat 11.9 pairs/s
     ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 
+    # BENCH_REMAT: 0 = none, 1 = trunk+heads, trunk = trunk blocks only,
+    # head = DPT-head fusion/regressor only (the heads' fp32 full-res
+    # activations, not the trunk, set the dpt memory boundary)
+    REMAT = os.environ.get("BENCH_REMAT", "0")
     model = DUSt3R(
         name=f"dust3r_512_{HEAD}",
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type=HEAD,
-        gradient_checkpointing=os.environ.get("BENCH_REMAT", "0") == "1",
+        gradient_checkpointing=REMAT in ("1", "trunk"),
+        head_gradient_checkpointing=REMAT in ("1", "head"),
         scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
         dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
         rngs=nnx.Rngs(0),

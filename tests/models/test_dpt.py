@@ -203,3 +203,54 @@ def test_dpt_feature_checkpoint_gradient_matches():
     assert abs(float(l0) - float(l1)) < 1e-7
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_dpt_regression_processor_checkpoint_gradient_matches():
+    "Processor remat (reference dpt.py:269-311 checkpoints it too) is bit-exact."
+    import jax
+
+    from uniception_tpu.models.prediction_heads.dpt import DPTFeatureInput, DPTRegressionProcessor
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 24, 8, 8).astype(np.float32))
+
+    def run(ckpt):
+        proc = DPTRegressionProcessor(
+            input_feature_dim=24, output_dim=3, checkpoint_gradient=ckpt, rngs=nnx.Rngs(0)
+        )
+        graphdef, state = nnx.split(proc)
+
+        def loss(state):
+            out = nnx.merge(graphdef, state)(
+                DPTFeatureInput(features_upsampled_8x=x, target_output_shape=(16, 16))
+            )
+            return (out.decoded_channels ** 2).mean()
+
+        return jax.value_and_grad(loss)(state)
+
+    (l0, g0), (l1, g1) = run(False), run(True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_factory_head_gradient_checkpointing_propagates():
+    "DUSt3R(head_gradient_checkpointing=...) reaches all four DPT modules; default follows gradient_checkpointing."
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+
+    def build(**kw):
+        return DUSt3R(
+            name="t", img_size=(32, 32), pred_head_type="dpt",
+            enc_embed_dim=32, enc_depth=1, enc_num_heads=2,
+            info_sharing_dim=32, info_sharing_depth=9, info_sharing_num_heads=2,
+            rngs=nnx.Rngs(0), **kw,
+        )
+
+    m = build(head_gradient_checkpointing=True)
+    assert m.dpt_feature_head1.checkpoint_gradient and m.dpt_feature_head2.checkpoint_gradient
+    assert m.dpt_regressor_head1.checkpoint_gradient and m.dpt_regressor_head2.checkpoint_gradient
+    assert not m.encoder.gradient_checkpointing
+
+    m = build(gradient_checkpointing=True, head_gradient_checkpointing=False)
+    assert not m.dpt_feature_head1.checkpoint_gradient
+    assert not m.dpt_regressor_head1.checkpoint_gradient

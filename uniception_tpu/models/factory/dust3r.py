@@ -93,6 +93,12 @@ class DUSt3R(nnx.Module):
         info_sharing_depth: int = 12,
         info_sharing_num_heads: int = 12,
         gradient_checkpointing: bool = False,
+        # remat for the DPT heads' fusion pyramid + regressor (their fp32
+        # 8x-upsampled activations, not the trunk, set the dpt training
+        # memory boundary — BASELINE.md round-4 dpt ledger). None = follow
+        # gradient_checkpointing; pass an explicit bool to split the knobs
+        # (head-only remat keeps the trunk activation-cache intact).
+        head_gradient_checkpointing: Optional[bool] = None,
         scan_blocks: bool = False,
         head_dtype=None,
         landscape_only: bool = False,
@@ -122,6 +128,9 @@ class DUSt3R(nnx.Module):
         # (portrait rows spatially transposed, like the inputs); see
         # uniception_tpu.data.bucketing.extract_view for unpacking.
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        head_remat = (
+            gradient_checkpointing if head_gradient_checkpointing is None else head_gradient_checkpointing
+        )
         if pretrained_pred_head_checkpoint_paths is None:
             pretrained_pred_head_checkpoint_paths = [None, None]
         if pretrained_pred_head_regressor_checkpoint_paths is None:
@@ -184,7 +193,10 @@ class DUSt3R(nnx.Module):
                 dim=info_sharing_dim,
                 depth=info_sharing_depth,
                 num_heads=info_sharing_num_heads,
-                indices=[5, 8],
+                # reference hardcodes [5, 8] for its always-12-deep decoder
+                # (factory/dust3r.py DPT hooks); guard for the size-override
+                # extension so shallow test/example decoders stay valid
+                indices=[5, 8] if info_sharing_depth >= 9 else [0, info_sharing_depth // 2],
                 norm_intermediate=False,
                 custom_positional_encoding=self.rope,
                 gradient_checkpointing=gradient_checkpointing,
@@ -223,6 +235,7 @@ class DUSt3R(nnx.Module):
                 input_feature_dims=[self.encoder.enc_embed_dim] + [self.info_sharing.dim] * 3,
                 feature_dim=pred_head_feature_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_checkpoint_paths[0],
+                checkpoint_gradient=head_remat,
                 dtype=head_dtype,
                 rngs=rngs,
             )
@@ -230,6 +243,7 @@ class DUSt3R(nnx.Module):
                 input_feature_dim=pred_head_feature_dim,
                 output_dim=pred_head_output_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_regressor_checkpoint_paths[0],
+                checkpoint_gradient=head_remat,
                 dtype=head_dtype,
                 rngs=rngs,
             )
@@ -239,6 +253,7 @@ class DUSt3R(nnx.Module):
                 input_feature_dims=[self.encoder.enc_embed_dim] + [self.info_sharing.dim] * 3,
                 feature_dim=pred_head_feature_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_checkpoint_paths[1],
+                checkpoint_gradient=head_remat,
                 dtype=head_dtype,
                 rngs=rngs,
             )
@@ -246,6 +261,7 @@ class DUSt3R(nnx.Module):
                 input_feature_dim=pred_head_feature_dim,
                 output_dim=pred_head_output_dim,
                 pretrained_checkpoint_path=pretrained_pred_head_regressor_checkpoint_paths[1],
+                checkpoint_gradient=head_remat,
                 dtype=head_dtype,
                 rngs=rngs,
             )

@@ -78,6 +78,9 @@ class UFMFlow(nnx.Module):
         info_sharing_depth: int = 12,
         info_sharing_num_heads: int = 12,
         gradient_checkpointing: bool = False,
+        # None = follow gradient_checkpointing (DPT-head fusion remat; the
+        # heads' fp32 upsampled activations dominate dpt training memory)
+        head_gradient_checkpointing: Optional[bool] = None,
         scan_blocks: bool = False,
         head_dtype=None,
         *,
@@ -141,17 +144,24 @@ class UFMFlow(nnx.Module):
             )
             from uniception_tpu.models.prediction_heads.dpt import DPTFeature, DPTRegressionProcessor
 
+            head_remat = (
+                gradient_checkpointing
+                if head_gradient_checkpointing is None
+                else head_gradient_checkpointing
+            )
             self.dpt_feature_head = DPTFeature(
                 patch_size=self.encoder.patch_size,
                 hooks=[0, 1, 2, 3],
                 input_feature_dims=[enc_embed_dim] + [info_sharing_dim] * 3,
                 feature_dim=pred_head_feature_dim,
+                checkpoint_gradient=head_remat,
                 dtype=head_dtype,
                 rngs=rngs,
             )
             self.dpt_regressor_head = DPTRegressionProcessor(
                 input_feature_dim=pred_head_feature_dim,
                 output_dim=3,
+                checkpoint_gradient=head_remat,
                 dtype=head_dtype,
                 rngs=rngs,
             )

@@ -188,6 +188,7 @@ class DPTRegressionProcessor(nnx.Module):
         assert len(hidden_dims) == 2
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
+        self.checkpoint_gradient = checkpoint_gradient
         self.conv1 = Conv2dTorch(input_feature_dim, hidden_dims[0], 3, 1, 1, **kw)
         self.conv2 = Seq(
             Conv2dTorch(hidden_dims[0], hidden_dims[1], 3, 1, 1, **kw),
@@ -200,15 +201,31 @@ class DPTRegressionProcessor(nnx.Module):
             ckpt = load_checkpoint(pretrained_checkpoint_path)
             load_torch_state_dict(self, ckpt["model"], strict=False, ignore=DPT_CHECKPOINT_ALIASES)
 
-    def __call__(self, dpt_processor_input: DPTFeatureInput) -> PixelTaskOutput:
-        x = _to_nhwc(dpt_processor_input.features_upsampled_8x)
-        output_shape = dpt_processor_input.target_output_shape
-
+    def _body(self, x_bchw, output_shape):
+        x = _to_nhwc(x_bchw)
         x = self.conv1(x)
         x = _to_bchw(x)
         x = interpolate(x, size=output_shape, mode="bilinear", align_corners=True)
         x = _to_nhwc(x)
-        x = self.conv2(x)
+        return self.conv2(x)
+
+    def __call__(self, dpt_processor_input: DPTFeatureInput) -> PixelTaskOutput:
+        output_shape = dpt_processor_input.target_output_shape
+
+        # the reference wraps this processor in torch.utils.checkpoint too
+        # (dpt.py:269-311); its full-target-resolution conv activations are
+        # the largest f32 buffers of the dpt training step
+        if self.checkpoint_gradient:
+            import jax
+
+            graphdef, state = nnx.split(self)
+
+            def fn(state, x):
+                return nnx.merge(graphdef, state)._body(x, output_shape)
+
+            x = jax.checkpoint(fn)(state, dpt_processor_input.features_upsampled_8x)
+        else:
+            x = self._body(dpt_processor_input.features_upsampled_8x, output_shape)
         return PixelTaskOutput(decoded_channels=_to_bchw(x))
 
 

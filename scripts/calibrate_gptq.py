@@ -1,0 +1,165 @@
+"""
+GPTQ calibration for the DUSt3R int8 serving path.
+
+Captures per-layer input Hessians (H = E[x x^T]) by running the bf16
+loop-layout model on calibration pairs, then re-rounds every trunk kernel
+with GPTQ (nn/gptq.py) on the SAME symmetric per-output-channel grid the
+RTN path uses — serving cost is unchanged, only the int8 codes improve.
+Saves an npz of {path.w_q, path.w_scale} consumable by
+``uniception_tpu.nn.gptq.apply_gptq`` on either trunk layout (loop or
+scan/stacked), and prints the per-layer weight-error reduction in the
+calibration metric (||W - Q s||_H vs RTN).
+
+Weights: real checkpoints when you have them (--sd), else the torch-init
+proxy (the same oracle cache scripts/tier_compare_torchinit.py builds, so
+bills before/after are measured against one oracle). Calibration inputs:
+random images by default (the proxy distribution the round-4 error bills
+are quoted on, BASELINE.md); point --image-dir at real frames for
+deployment calibration.
+
+Usage (CPU ok, minutes at 512):
+    JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu python scripts/calibrate_gptq.py \
+        [--img 512] [--pairs 2] [--cache /tmp/tier_oracle.npz] \
+        [--out /tmp/gptq_dust3r.npz] [--policy all]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--pairs", type=int, default=2)
+    ap.add_argument("--cache", default="/tmp/tier_oracle.npz", help="torch-init oracle cache (tier_compare_torchinit.py)")
+    ap.add_argument("--sd", default=None, help="optional real checkpoint (.pth/.npz state dict) instead of the proxy init")
+    ap.add_argument("--out", default="/tmp/gptq_dust3r.npz")
+    ap.add_argument("--policy", default="all")
+    ap.add_argument("--blocksize", type=int, default=128)
+    ap.add_argument("--percdamp", type=float, default=0.01)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from uniception_tpu.models.factory.dust3r import DUSt3R
+    from uniception_tpu.models.utils.config import set_attention_impl
+    from uniception_tpu.nn.gptq import gptq_int8, harvest_hessians, install_hessian_capture
+    from uniception_tpu.nn.quant import quantize_int8, trunk_policy
+    from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+    cfg = dict(
+        name="dust3r_gptq_calib",
+        img_size=(args.img, args.img),
+        patch_embed_cls="ManyAR_PatchEmbed",
+        pred_head_type="linear",
+    )
+
+    # --- weights: real checkpoint or the torch-init proxy oracle ---------
+    if args.sd:
+        from uniception_tpu.utils.checkpoint import load_checkpoint
+
+        sd = load_checkpoint(args.sd)["model"]
+    elif os.path.exists(args.cache):
+        data = np.load(args.cache)
+        sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+        print(f"torch-init proxy weights from oracle cache: {args.cache}")
+    else:
+        from tests.conftest import add_reference_to_path
+
+        add_reference_to_path()
+        import torch
+        from uniception.models.factory.dust3r import DUSt3R as TDUSt3R
+
+        torch.manual_seed(0)
+        t_model = TDUSt3R(**cfg)
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        print("torch-init proxy weights built fresh (no oracle cache found)")
+
+    model = DUSt3R(rngs=nnx.Rngs(0), scan_blocks=False, **cfg)  # loop layout: per-depth Hessians
+    missing, unexpected = load_torch_state_dict(model, sd, ignore=model.checkpoint_alias_patterns())
+    assert not missing and not unexpected, (missing, unexpected)
+    set_attention_impl("xla")
+
+    # serving quantizes the bf16-cast weights: calibrate on the same state
+    gd0, st0 = nnx.split(model)
+    st0 = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, st0)
+    model = nnx.merge(gd0, st0)
+
+    enc_pred, dec_pred = trunk_policy(args.policy)
+    n = install_hessian_capture(model.encoder, predicate=enc_pred)
+    n += install_hessian_capture(model.info_sharing, predicate=dec_pred)
+    print(f"capturing Hessians for {n} trunk linears (policy={args.policy})")
+
+    gd, st = nnx.split(model)
+
+    @jax.jit
+    def run(st, img1, img2):
+        m = nnx.merge(gd, st)
+        m.forward_pair(img1, img2)
+        return nnx.split(m)[1]
+
+    rng = np.random.RandomState(7)  # NOT the bill's seed 42: calibration and eval stay disjoint
+    t0 = time.time()
+    for i in range(args.pairs):
+        img1 = jnp.asarray(rng.randn(1, 3, args.img, args.img).astype(np.float32))
+        img2 = jnp.asarray(rng.randn(1, 3, args.img, args.img).astype(np.float32))
+        st = run(st, img1, img2)
+        print(f"  pair {i + 1}/{args.pairs} captured ({time.time() - t0:.0f}s)", flush=True)
+    nnx.update(model, st)
+    hessians = harvest_hessians(model)
+    assert len(hessians) == n, (len(hessians), n)
+
+    # --- GPTQ every captured layer ---------------------------------------
+    kernels = {}
+
+    def collect(mod, path=""):
+        for name, child in list(vars(mod).items()):
+            p = f"{path}.{name}".lstrip(".")
+            if isinstance(child, nnx.Linear) and p in hessians:
+                kernels[p] = np.asarray(child.kernel[...], np.float64)
+            elif isinstance(child, nnx.Module):
+                collect(child, p)
+            elif isinstance(child, (list, nnx.List)):
+                for i, c in enumerate(child):
+                    if isinstance(c, nnx.Module):
+                        collect(c, f"{p}.{i}")
+
+    collect(model)
+    assert set(kernels) == set(hessians), (len(kernels), len(hessians))
+
+    out, improvements = {}, []
+    t0 = time.time()
+    for i, (p, w) in enumerate(sorted(kernels.items())):
+        H = hessians[p]
+        w_q, w_s = gptq_int8(w, H, blocksize=args.blocksize, percdamp=args.percdamp)
+        r_q, r_s = quantize_int8(jnp.asarray(w, jnp.float32), axis=-2)
+        r_q, r_s = np.asarray(r_q, np.float64), np.asarray(r_s, np.float64)
+
+        def h_err(q, s):
+            E = w - q.astype(np.float64) * s
+            return float(np.sqrt(max(np.einsum("io,ij,jo->", E, H, E), 0.0)))
+
+        e_g, e_r = h_err(w_q, w_s), h_err(r_q, r_s)
+        improvements.append(e_g / max(e_r, 1e-30))
+        out[f"{p}.w_q"] = w_q
+        out[f"{p}.w_scale"] = w_s
+        if i % 20 == 0 or e_g > e_r:
+            print(f"  [{i + 1}/{len(kernels)}] {p}: H-err gptq/rtn = {e_g / max(e_r, 1e-30):.3f} ({time.time() - t0:.0f}s)", flush=True)
+
+    np.savez(args.out, **out)
+    print(
+        f"GPTQ done: {len(kernels)} layers -> {args.out}; H-metric error ratio "
+        f"gptq/rtn median {np.median(improvements):.3f} worst {max(improvements):.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--head", default="linear", choices=["linear", "dpt"])
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--scan", type=int, default=0)  # loop layout is the training config (BASELINE.md)
-    ap.add_argument("--remat", default="0", choices=["0", "1", "dots", "attn_out"])
+    ap.add_argument("--remat", default="0", choices=["0", "1", "dots", "attn_out", "head"])
     ap.add_argument("--skip-kernels", action="store_true")
     ap.add_argument("--skip-stages", action="store_true")
     args = ap.parse_args()
@@ -60,7 +60,7 @@ def main():
 
     set_attention_impl(os.environ.get("BENCH_ATTN", "pallas"))
     set_gelu_mode(os.environ.get("BENCH_GELU", "tanh"))
-    if args.remat not in ("0", "1"):
+    if args.remat not in ("0", "1", "head"):
         os.environ["UNICEPTION_TPU_REMAT_POLICY"] = args.remat
 
     B, IMG = args.batch, args.img
@@ -69,7 +69,10 @@ def main():
         img_size=(IMG, IMG),
         patch_embed_cls="ManyAR_PatchEmbed",
         pred_head_type=args.head,
-        gradient_checkpointing=args.remat != "0",
+        gradient_checkpointing=args.remat not in ("0", "head"),
+        # "head": DPT-head-only remat — the dpt training frontier config
+        # (the heads' fp32 full-res activations set the memory boundary)
+        head_gradient_checkpointing=True if args.remat == "head" else None,
         scan_blocks=bool(args.scan),
         dtype=jnp.bfloat16,  # bf16 compute, fp32 params
         rngs=nnx.Rngs(0),

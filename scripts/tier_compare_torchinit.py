@@ -25,6 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--cache", default="/tmp/tier_oracle.npz")
+    ap.add_argument("--gptq", default=None, help="GPTQ codes npz (scripts/calibrate_gptq.py) — adds an int8+GPTQ rung")
     args = ap.parse_args()
 
     from tests.conftest import add_reference_to_path
@@ -105,6 +106,14 @@ def main():
         m = nnx.merge(gd, st_bf16)
         quantize_trunk(m, policy, asym=asym)
         bill(m, label)
+
+    if args.gptq:
+        from uniception_tpu.nn.gptq import apply_gptq, load_gptq_npz
+
+        m = nnx.merge(gd, st_bf16)
+        quantize_trunk(m, "all", asym="none")
+        n = apply_gptq(m, load_gptq_npz(args.gptq))
+        bill(m, f"int8 all sym + GPTQ ({n} layers)")
 
 
 if __name__ == "__main__":

@@ -137,22 +137,25 @@ def gptq_int8(
     *,
     blocksize: int = 128,
     percdamp: float = 0.01,
+    dtype=np.float64,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """GPTQ re-rounding of one kernel ``w`` (in, out) against Hessian ``H``
     (in, in). Returns ``(w_q int8 (in, out), w_scale f32 (1, out))`` on the
     SAME symmetric per-output-channel grid as ``quantize_int8(axis=-2)`` —
     drop-in for ``Int8Linear``'s ``w_q``/``w_scale``.
 
-    Host math (numpy float64); sequential over input channels in blocks
-    with the lazy trailing update, exactly the published GPTQ schedule.
-    With H = I the compensation vanishes and the result equals RTN.
+    Host math (numpy; ``dtype=np.float32`` halves the O(d^3) factorization
+    cost — the damping keeps f32 stable and int8 codes are insensitive to
+    the last float bits); sequential over input channels in blocks with the
+    lazy trailing update, exactly the published GPTQ schedule. With H = I
+    the compensation vanishes and the result equals RTN.
     """
-    w = np.asarray(w, np.float64).copy()
+    w = np.asarray(w, dtype).copy()
     d_in = w.shape[0]
     assert H.shape == (d_in, d_in), (H.shape, w.shape)
     scale = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-30) / 127.0  # (1, out)
 
-    H = np.asarray(H, np.float64).copy()
+    H = np.asarray(H, dtype).copy()
     diag = np.arange(d_in)
     dead = H[diag, diag] <= 0
     H[diag[dead], diag[dead]] = 1.0

@@ -86,7 +86,10 @@ def main():
 
     results = {}
     for name, fn in [("fwd", fwd), ("fwd_bwd", fwd_bwd)]:
-        ms = benchmark_fn_chained(lambda c, fn=fn: fn(f_state, p_state, feats, c), iters=args.iters) * 1e3
+        # pass operands as ARGUMENTS (closing over them would inline ~60 MB
+        # of feature constants into the HLO, which the remote-compile
+        # helper rejects with HTTP 413)
+        ms = benchmark_fn_chained(fn, f_state, p_state, feats, iters=args.iters) * 1e3
         results[name] = ms
         print(
             json.dumps(

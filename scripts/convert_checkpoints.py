@@ -127,6 +127,13 @@ def main():
         "activation quantization (same grammar; default all-symmetric — "
         "the measured frontier default, BASELINE.md round 4)",
     )
+    parser.add_argument(
+        "--gptq",
+        default=None,
+        help="(--int8) npz of calibrated GPTQ codes (scripts/calibrate_gptq.py): "
+        "embed them in the serving checkpoint in place of the RTN codes "
+        "(-29%% int8 output error at identical throughput, BASELINE.md round 4)",
+    )
     args = parser.parse_args()
 
     ckpt = load_checkpoint(args.input)
@@ -190,10 +197,17 @@ def main():
             # would produce at serve time, with scales in f32
             m = materialize(m, param_dtype=save_dtype)
             n_q = quantize_trunk(m, args.int8_policy, asym=args.int8_asym)
+            n_gptq = 0
+            if args.gptq:
+                from uniception_tpu.nn.gptq import apply_gptq, load_gptq_npz
+
+                n_gptq = apply_gptq(m, load_gptq_npz(args.gptq))
+                print(f"embedded GPTQ codes for {n_gptq} layers from {args.gptq}")
             meta = {
                 **meta,
                 "quant": "int8-w8a8-dynamic",
                 "quant_layers": n_q,
+                "quant_gptq_layers": n_gptq,
                 # recorded so the serve loader reconstructs the SAME module
                 # tree (policy decides which layers are Int8Linear; asym
                 # decides which of those carry a w_colsum leaf)

@@ -349,3 +349,64 @@ def test_serve_bucketed_aot_artifacts(torch_ckpt, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "AOT artifacts bound" in out.stdout, out.stdout
     assert "pairs/s" in out.stdout, out.stdout
+
+
+@pytest.mark.slow_subprocess
+def test_convert_serving_int8_embeds_gptq_codes(tmp_path):
+    """--serving --int8 --gptq stores the calibrated GPTQ codes in the
+    packed checkpoint in place of RTN (same module tree/metadata, only the
+    integer codes differ), and the serve-side abstract+materialize load
+    reconstructs them exactly."""
+    import numpy as np
+
+    from uniception_tpu.nn.gptq import gptq_int8
+    from uniception_tpu.nn.quant import quantize_trunk
+    from uniception_tpu.utils.checkpoint import save_checkpoint
+    from uniception_tpu.utils.coldstart import abstract_construct, load_native_state, materialize
+    from uniception_tpu.utils.torch_compat import state_dict_from_module
+
+    cfg = dict(img_size=64, enc_dim=256, enc_depth=2, enc_heads=4, dec_dim=64, dec_depth=2, dec_heads=4)
+    model = _build(cfg)
+    src = str(tmp_path / "torch.npz")
+    save_checkpoint(src, state_dict_from_module(model))
+
+    # GPTQ one stacked layer (enc fc1) against a random SPD Hessian; keys in
+    # the loop-layout format calibrate_gptq.py emits
+    k = np.asarray(model.encoder.enc_blocks.mlp.fc1.kernel[...], np.float32)  # (depth, in, out)
+    rng = np.random.RandomState(0)
+    codes = {}
+    expected = []
+    for i in range(k.shape[0]):
+        A = rng.randn(k.shape[1], 4 * k.shape[1]).astype(np.float64)
+        H = A @ A.T / A.shape[1] + 0.1 * np.eye(k.shape[1])
+        w_q, w_s = gptq_int8(k[i], H)
+        codes[f"encoder.enc_blocks.{i}.mlp.fc1.w_q"] = w_q
+        codes[f"encoder.enc_blocks.{i}.mlp.fc1.w_scale"] = w_s
+        expected.append(w_q)
+    gptq_npz = str(tmp_path / "codes.npz")
+    np.savez(gptq_npz, **codes)
+
+    native = str(tmp_path / "serve_int8_gptq.nsv")
+    out = _run(
+        ("scripts", "convert_checkpoints.py"),
+        src, native, "--serving", "--int8", f"--gptq={gptq_npz}", *_flags(cfg),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "embedded GPTQ codes for 1 layers" in out.stdout, out.stdout
+
+    arrays, meta = load_native_state(native)
+    assert meta["quant_gptq_layers"] == 1
+
+    def ctor_q():
+        m = _build(cfg)
+        quantize_trunk(m, meta["quant_policy"], asym=meta["quant_asym"])
+        return m
+
+    m_loaded = materialize(abstract_construct(ctor_q), arrays=arrays)
+    got = np.asarray(m_loaded.encoder.enc_blocks.mlp.fc1.w_q[...])
+    np.testing.assert_array_equal(got, np.stack(expected))
+    # and it really differs from RTN (the compensation moved some codes)
+    m_rtn = _build(cfg)
+    quantize_trunk(m_rtn, "all")
+    rtn = np.asarray(m_rtn.encoder.enc_blocks.mlp.fc1.w_q[...])
+    assert (got != rtn).any()

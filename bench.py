@@ -98,6 +98,14 @@ def main():
         model = nnx.merge(graphdef, state)
         n_q = quantize_trunk(model, policy, asym=asym)
         print(f"int8-quantized {n_q} trunk linears (policy={policy}, asym={asym or 'none'})", file=sys.stderr)
+        if os.environ.get("BENCH_GPTQ"):
+            # calibrated GPTQ codes (scripts/calibrate_gptq.py) — same
+            # compiled program as RTN (only constant values differ), so this
+            # is an accuracy knob, not a speed one (BASELINE.md round 4)
+            from uniception_tpu.nn.gptq import apply_gptq, load_gptq_npz
+
+            n_g = apply_gptq(model, load_gptq_npz(os.environ["BENCH_GPTQ"]))
+            print(f"GPTQ codes applied to {n_g} layers", file=sys.stderr)
         graphdef, state = nnx.split(model)
 
     def one(state, img1, img2, ts, carry):

@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--policy", default="all")
     ap.add_argument("--blocksize", type=int, default=128)
     ap.add_argument("--percdamp", type=float, default=0.01)
+    ap.add_argument(
+        "--image-dir",
+        default=None,
+        help="directory of real frames (.png/.jpg) for calibration — consecutive "
+        "frames are paired; default: random images (the proxy distribution the "
+        "round-4 bills are quoted on)",
+    )
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"], help="host factorization dtype (f32 halves the O(d^3) cost)")
     ap.add_argument("--diag-every", type=int, default=10, help="compute the H-metric gptq/rtn diagnostic on every Nth layer (it costs as much as GPTQ itself)")
     args = ap.parse_args()
@@ -108,13 +115,40 @@ def main():
         m.forward_pair(img1, img2)
         return nnx.split(m)[1]
 
-    rng = np.random.RandomState(7)  # NOT the bill's seed 42: calibration and eval stay disjoint
+    def calib_pairs():
+        "Yields (img1, img2) NCHW float32, pre-normalized (what forward_pair expects)."
+        if args.image_dir:
+            from PIL import Image
+
+            from uniception_tpu.models.encoders.image_normalizations import normalize_image
+
+            files = sorted(
+                os.path.join(args.image_dir, f)
+                for f in os.listdir(args.image_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )
+            assert len(files) >= 2, f"--image-dir needs >=2 frames, found {len(files)}"
+            frames = []
+            for f in files[: 2 * args.pairs]:
+                im = np.asarray(Image.open(f).convert("RGB").resize((args.img, args.img)), np.float32) / 255.0
+                im = np.transpose(im, (2, 0, 1))[None]  # (1, 3, H, W) in [0, 1]
+                frames.append(np.asarray(normalize_image(im, "dust3r"), np.float32))
+            for i in range(0, len(frames) - 1, 2):
+                yield jnp.asarray(frames[i]), jnp.asarray(frames[i + 1])
+        else:
+            rng = np.random.RandomState(7)  # NOT the bill's seed 42: calibration and eval stay disjoint
+            for _ in range(args.pairs):
+                yield (
+                    jnp.asarray(rng.randn(1, 3, args.img, args.img).astype(np.float32)),
+                    jnp.asarray(rng.randn(1, 3, args.img, args.img).astype(np.float32)),
+                )
+
     t0 = time.time()
-    for i in range(args.pairs):
-        img1 = jnp.asarray(rng.randn(1, 3, args.img, args.img).astype(np.float32))
-        img2 = jnp.asarray(rng.randn(1, 3, args.img, args.img).astype(np.float32))
+    n_pairs = 0
+    for img1, img2 in calib_pairs():
         st = run(st, img1, img2)
-        print(f"  pair {i + 1}/{args.pairs} captured ({time.time() - t0:.0f}s)", flush=True)
+        n_pairs += 1
+        print(f"  pair {n_pairs} captured ({time.time() - t0:.0f}s)", flush=True)
     nnx.update(model, st)
     hessians = harvest_hessians(model)
     assert len(hessians) == n, (len(hessians), n)

@@ -35,6 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model",
+        default="dust3r",
+        choices=["dust3r", "flow"],
+        help="which composed model to calibrate (both expose encoder + info_sharing "
+        "trunks; flow uses its own weights — pass --sd for a real checkpoint)",
+    )
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--pairs", type=int, default=2)
     ap.add_argument("--cache", default="/tmp/tier_oracle.npz", help="torch-init oracle cache (tier_compare_torchinit.py)")
@@ -64,38 +71,57 @@ def main():
     from uniception_tpu.nn.quant import quantize_int8, trunk_policy
     from uniception_tpu.utils.torch_compat import load_torch_state_dict
 
-    cfg = dict(
-        name="dust3r_gptq_calib",
-        img_size=(args.img, args.img),
-        patch_embed_cls="ManyAR_PatchEmbed",
-        pred_head_type="linear",
-    )
+    if args.model == "flow":
+        # UFM-style flow model: same trunk structure (encoder + info_sharing),
+        # so the whole pipeline applies unchanged; weights from --sd when
+        # available, else the module's own init
+        from uniception_tpu.models.factory.flow import UFMFlow
 
-    # --- weights: real checkpoint or the torch-init proxy oracle ---------
-    if args.sd:
-        from uniception_tpu.utils.checkpoint import load_checkpoint
+        model = UFMFlow(
+            name="ufm_gptq_calib",
+            img_size=(args.img, args.img),
+            pred_head_type="dpt",
+            scan_blocks=False,  # loop layout: per-depth Hessians
+            rngs=nnx.Rngs(0),
+        )
+        if args.sd:
+            from uniception_tpu.utils.checkpoint import load_checkpoint
 
-        sd = load_checkpoint(args.sd)["model"]
-    elif os.path.exists(args.cache):
-        data = np.load(args.cache)
-        sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
-        print(f"torch-init proxy weights from oracle cache: {args.cache}")
+            load_torch_state_dict(model, load_checkpoint(args.sd)["model"])
+        set_attention_impl("xla")
     else:
-        from tests.conftest import add_reference_to_path
+        cfg = dict(
+            name="dust3r_gptq_calib",
+            img_size=(args.img, args.img),
+            patch_embed_cls="ManyAR_PatchEmbed",
+            pred_head_type="linear",
+        )
 
-        add_reference_to_path()
-        import torch
-        from uniception.models.factory.dust3r import DUSt3R as TDUSt3R
+        # --- weights: real checkpoint or the torch-init proxy oracle -----
+        if args.sd:
+            from uniception_tpu.utils.checkpoint import load_checkpoint
 
-        torch.manual_seed(0)
-        t_model = TDUSt3R(**cfg)
-        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
-        print("torch-init proxy weights built fresh (no oracle cache found)")
+            sd = load_checkpoint(args.sd)["model"]
+        elif os.path.exists(args.cache):
+            data = np.load(args.cache)
+            sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+            print(f"torch-init proxy weights from oracle cache: {args.cache}")
+        else:
+            from tests.conftest import add_reference_to_path
 
-    model = DUSt3R(rngs=nnx.Rngs(0), scan_blocks=False, **cfg)  # loop layout: per-depth Hessians
-    missing, unexpected = load_torch_state_dict(model, sd, ignore=model.checkpoint_alias_patterns())
-    assert not missing and not unexpected, (missing, unexpected)
-    set_attention_impl("xla")
+            add_reference_to_path()
+            import torch
+            from uniception.models.factory.dust3r import DUSt3R as TDUSt3R
+
+            torch.manual_seed(0)
+            t_model = TDUSt3R(**cfg)
+            sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+            print("torch-init proxy weights built fresh (no oracle cache found)")
+
+        model = DUSt3R(rngs=nnx.Rngs(0), scan_blocks=False, **cfg)  # loop layout: per-depth Hessians
+        missing, unexpected = load_torch_state_dict(model, sd, ignore=model.checkpoint_alias_patterns())
+        assert not missing and not unexpected, (missing, unexpected)
+        set_attention_impl("xla")
 
     # serving quantizes the bf16-cast weights: calibrate on the same state
     gd0, st0 = nnx.split(model)

@@ -460,6 +460,15 @@ def _bucket_loop(args, buckets, state, get_infer):
 
 def main():
     args = parse_args()
+    if args.gptq and args.artifact:
+        # the AOT path binds checkpoint arrays directly and never calls
+        # _build_model, so --gptq would be silently ignored: the codes must
+        # already live in the checkpoint for artifact serving
+        raise SystemExit(
+            "--gptq cannot be applied at serve time on the --artifact path; embed the "
+            "codes in the serving checkpoint instead (convert_checkpoints.py --serving "
+            "--int8 --gptq codes.npz) — they then ride the bound arrays automatically"
+        )
     if args.buckets:
         return serve_bucketed(args)
     import jax

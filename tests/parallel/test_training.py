@@ -575,3 +575,64 @@ def test_trainable_composes_with_fsdp():
         if not f.sharding.is_fully_replicated:
             n_sharded += 1
     assert n_sharded > 0
+
+
+def test_losses_survive_nan_target_sentinels():
+    """NaN/inf ground truth at invalid pixels (standard dataset sentinels)
+    must not poison the loss or its gradients — the double-where fix: the
+    difference is masked BEFORE the norm, not just the per-pixel loss."""
+    from uniception_tpu.parallel.training import (
+        dust3r_confidence_loss,
+        flow_confidence_loss,
+        multiview_confidence_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, W = 1, 4, 4
+    valid = jnp.asarray(rng.rand(B, H, W) > 0.4)
+
+    def poison(t):
+        t = np.array(t)
+        t[~np.asarray(valid)] = np.nan
+        return jnp.asarray(t)
+
+    conf = jnp.asarray(1.0 + rng.rand(B, H, W, 1).astype(np.float32))
+    pts1 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    pts2 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    t1 = poison(rng.randn(B, H, W, 3).astype(np.float32))
+    t2 = poison(rng.randn(B, H, W, 3).astype(np.float32))
+
+    def d_loss(p1):
+        r1 = {"pts3d": p1, "conf": conf}
+        r2 = {"pts3d_in_other_view": pts2, "conf": conf}
+        return dust3r_confidence_loss(r1, r2, t1, t2, valid1=valid, valid2=valid)
+
+    for norm_mode in (None, "avg_dis"):
+
+        def d_loss_n(p1, nm=norm_mode):
+            r1 = {"pts3d": p1, "conf": conf}
+            r2 = {"pts3d_in_other_view": pts2, "conf": conf}
+            return dust3r_confidence_loss(r1, r2, t1, t2, valid1=valid, valid2=valid, norm_mode=nm)
+
+        l, g = jax.value_and_grad(d_loss_n)(pts1)
+        assert np.isfinite(float(l)), norm_mode
+        assert bool(jnp.all(jnp.isfinite(g))), norm_mode
+
+    tf = poison(rng.randn(B, H, W, 2).astype(np.float32))
+
+    def f_loss(flow):
+        return flow_confidence_loss({"flow": flow, "flow_conf": conf}, tf, valid=valid)
+
+    l, g = jax.value_and_grad(f_loss)(jnp.asarray(rng.randn(B, H, W, 2).astype(np.float32)))
+    assert np.isfinite(float(l)) and bool(jnp.all(jnp.isfinite(g)))
+
+    def m_loss(p1):
+        return multiview_confidence_loss(
+            [{"pts3d": p1, "conf": conf}, {"pts3d": pts2, "conf": conf}],
+            [t1, t2],
+            valids=[valid, valid],
+            norm_mode="avg_dis",
+        )
+
+    l, g = jax.value_and_grad(m_loss)(pts1)
+    assert np.isfinite(float(l)) and bool(jnp.all(jnp.isfinite(g)))

@@ -186,6 +186,8 @@ class DUSt3R(nnx.Module):
                 rngs=rngs,
             )
         elif pred_head_type == "dpt":
+            if info_sharing_depth < 2:
+                raise ValueError("dpt heads need info_sharing_depth >= 2 for distinct hook indices")
             self.info_sharing = MultiViewCrossAttentionTransformerIFR(
                 name="base_info_sharing",
                 input_embed_dim=self.encoder.enc_embed_dim,
@@ -196,6 +198,7 @@ class DUSt3R(nnx.Module):
                 # reference hardcodes [5, 8] for its always-12-deep decoder
                 # (factory/dust3r.py DPT hooks); guard for the size-override
                 # extension so shallow test/example decoders stay valid
+                # (depth >= 2 asserted above keeps the two indices distinct)
                 indices=[5, 8] if info_sharing_depth >= 9 else [0, info_sharing_depth // 2],
                 norm_intermediate=False,
                 custom_positional_encoding=self.rope,

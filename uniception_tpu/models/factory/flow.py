@@ -137,6 +137,8 @@ class UFMFlow(nnx.Module):
                 rngs=rngs,
             )
         elif pred_head_type == "dpt":
+            if info_sharing_depth < 2:
+                raise ValueError("dpt heads need info_sharing_depth >= 2 for distinct hook indices")
             self.info_sharing = MultiViewCrossAttentionTransformerIFR(
                 indices=[5, 8] if info_sharing_depth >= 9 else [0, info_sharing_depth // 2],
                 norm_intermediate=False,

@@ -218,12 +218,16 @@ class DPTRegressionProcessor(nnx.Module):
         if self.checkpoint_gradient:
             import jax
 
+            from uniception_tpu.nn.common import resolve_remat_policy
+
             graphdef, state = nnx.split(self)
 
             def fn(state, x):
                 return nnx.merge(graphdef, state)._body(x, output_shape)
 
-            x = jax.checkpoint(fn)(state, dpt_processor_input.features_upsampled_8x)
+            x = jax.checkpoint(fn, policy=resolve_remat_policy())(
+                state, dpt_processor_input.features_upsampled_8x
+            )
         else:
             x = self._body(dpt_processor_input.features_upsampled_8x, output_shape)
         return PixelTaskOutput(decoded_channels=_to_bchw(x))

@@ -87,6 +87,28 @@ def LinearX(
     )
 
 
+def resolve_remat_policy():
+    """The UNICEPTION_TPU_REMAT_POLICY env default for gradient
+    checkpointing ("dots" | "attn_out" | unset = full remat) — shared by
+    remat_call and the DPT processor's inline checkpoint."""
+    import os
+
+    env_policy = os.environ.get("UNICEPTION_TPU_REMAT_POLICY")
+    if env_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if env_policy == "attn_out":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if env_policy:
+        import warnings
+
+        warnings.warn(
+            f"UNICEPTION_TPU_REMAT_POLICY={env_policy!r} is not one of"
+            " ('dots', 'attn_out'); falling back to full rematerialization.",
+            stacklevel=2,
+        )
+    return None
+
+
 def remat_call(blk: nnx.Module, *args, policy=None):
     """Apply a module under jax.checkpoint (gradient checkpointing).
 
@@ -107,21 +129,8 @@ def remat_call(blk: nnx.Module, *args, policy=None):
                       projections/norms/MLP — ~1 of ~14 per-block
                       activation tensors saved.
     """
-    import os
-
-    env_policy = os.environ.get("UNICEPTION_TPU_REMAT_POLICY")
-    if policy is None and env_policy == "dots":
-        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    elif policy is None and env_policy == "attn_out":
-        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-    elif policy is None and env_policy:
-        import warnings
-
-        warnings.warn(
-            f"UNICEPTION_TPU_REMAT_POLICY={env_policy!r} is not one of"
-            " ('dots', 'attn_out'); falling back to full rematerialization.",
-            stacklevel=2,
-        )
+    if policy is None:
+        policy = resolve_remat_policy()
     graphdef, state = nnx.split(blk)
 
     def fn(state, *inner):

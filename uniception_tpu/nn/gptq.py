@@ -102,7 +102,17 @@ def install_hessian_capture(
         child_path = f"{_path}.{name}".lstrip(".")
         if isinstance(child, nnx.Linear):
             k = child.kernel[...]
-            if k.ndim == 2 and k.size >= min_params and (predicate is None or predicate(child_path, child)):
+            if k.size >= min_params and (predicate is None or predicate(child_path, child)):
+                if k.ndim != 2:
+                    # fail loudly instead of silently capturing nothing: a
+                    # scan/stacked model would otherwise run a multi-minute
+                    # calibration that produces an empty npz
+                    raise ValueError(
+                        f"install_hessian_capture: {child_path} has a stacked "
+                        f"{k.shape} kernel — calibrate on the LOOP layout "
+                        "(scan_blocks=False) for per-depth Hessians; apply_gptq "
+                        "then maps the loop keys onto stacked models at load"
+                    )
                 setter(_HessianCapture(child))
                 count += 1
         elif isinstance(child, (nnx.Module, list, nnx.List)) and not isinstance(

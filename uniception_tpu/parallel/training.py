@@ -54,6 +54,10 @@ def normalize_pointmaps_nview(pts, valids=None, eps=1e-8):
     num = 0.0
     den = 0.0
     for i, p in enumerate(pts):
+        if valids is not None and valids[i] is not None:
+            # mask BEFORE the norm: a NaN/inf sentinel at an invalid pixel
+            # would otherwise poison the scale (NaN * 0 = NaN)
+            p = jnp.where(valids[i][..., None], p, 0.0)
         d = jnp.linalg.norm(p, axis=-1)
         v = jnp.ones_like(d) if valids is None or valids[i] is None else valids[i].astype(d.dtype)
         num = num + jnp.sum(d * v, axis=(1, 2))
@@ -98,7 +102,13 @@ def dust3r_confidence_loss(
 
     def view_loss(res, pts, target, valid):
         conf = res["conf"][..., 0]
-        err = jnp.linalg.norm(pts - target, axis=-1)
+        diff = pts - target
+        if valid is not None:
+            # double-where: masking per_px alone is NOT enough — a NaN/inf
+            # sentinel at an invalid target pixel poisons the backward
+            # (where's VJP sends 0 * NaN = NaN through norm's grad)
+            diff = jnp.where(valid[..., None], diff, 0.0)
+        err = jnp.linalg.norm(diff, axis=-1)
         per_px = conf * err - alpha * jnp.log(conf)
         if valid is not None:
             per_px = jnp.where(valid, per_px, 0.0)
@@ -129,9 +139,14 @@ def multiview_confidence_loss(results, targets, alpha: float = 0.2, valids=None,
     total = 0.0
     for i, r in enumerate(results):
         conf = r["conf"][..., 0]
-        err = jnp.linalg.norm(pts[i] - targets[i], axis=-1)
-        per_px = conf * err - alpha * jnp.log(conf)
         valid = None if valids is None else valids[i]
+        diff = pts[i] - targets[i]
+        if valid is not None:
+            # double-where (see dust3r_confidence_loss): mask the diff so
+            # NaN/inf target sentinels can't poison the backward
+            diff = jnp.where(valid[..., None], diff, 0.0)
+        err = jnp.linalg.norm(diff, axis=-1)
+        per_px = conf * err - alpha * jnp.log(conf)
         if valid is not None:
             per_px = jnp.where(valid, per_px, 0.0)
             total = total + jnp.sum(per_px) / jnp.maximum(jnp.sum(valid), 1)
@@ -155,7 +170,13 @@ def flow_confidence_loss(out, target_flow, alpha: float = 0.2, valid=None):
     valid: optional (B,H,W) mask (occlusions / out-of-frame).
     """
     conf = out["flow_conf"][..., 0]
-    err = jnp.linalg.norm(out["flow"] - target_flow, axis=-1)
+    diff = out["flow"] - target_flow
+    if valid is not None:
+        # double-where: flow datasets mark occluded pixels with NaN/inf
+        # sentinels; mask the DIFFERENCE (not just the per-pixel loss) or
+        # the where-VJP turns them into NaN gradients for every parameter
+        diff = jnp.where(valid[..., None], diff, 0.0)
+    err = jnp.linalg.norm(diff, axis=-1)
     per_px = conf * err - alpha * jnp.log(conf)
     if valid is not None:
         per_px = jnp.where(valid, per_px, 0.0)

@@ -37,22 +37,39 @@ def main():
     HEAD = os.environ.get("BENCH_HEAD", "linear")  # linear | dpt (the reference flagship 512-dpt)
     BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # fastest measured: b2 no-remat 11.9 pairs/s
     ITERS = int(os.environ.get("BENCH_ITERS", "6"))
+    # BENCH_MODEL=flow benches the UFM-style flow model (factory/flow.py)
+    # with flow_confidence_loss instead of the DUSt3R pair
+    MODEL = os.environ.get("BENCH_MODEL", "dust3r")
 
     # BENCH_REMAT: 0 = none, 1 = trunk+heads, trunk = trunk blocks only,
     # head = DPT-head fusion/regressor only (the heads' fp32 full-res
     # activations, not the trunk, set the dpt memory boundary)
     REMAT = os.environ.get("BENCH_REMAT", "0")
-    model = DUSt3R(
-        name=f"dust3r_512_{HEAD}",
-        img_size=(IMG, IMG),
-        patch_embed_cls="ManyAR_PatchEmbed",
-        pred_head_type=HEAD,
-        gradient_checkpointing=REMAT in ("1", "trunk"),
-        head_gradient_checkpointing=REMAT in ("1", "head"),
-        scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
-        dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
-        rngs=nnx.Rngs(0),
-    )
+    if MODEL == "flow":
+        from uniception_tpu.models.factory.flow import UFMFlow
+
+        model = UFMFlow(
+            name=f"ufm_flow_{IMG}_{HEAD}",
+            img_size=(IMG, IMG),
+            pred_head_type=HEAD,
+            gradient_checkpointing=REMAT in ("1", "trunk"),
+            head_gradient_checkpointing=REMAT in ("1", "head"),
+            scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
+            dtype=jnp.bfloat16,
+            rngs=nnx.Rngs(0),
+        )
+    else:
+        model = DUSt3R(
+            name=f"dust3r_512_{HEAD}",
+            img_size=(IMG, IMG),
+            patch_embed_cls="ManyAR_PatchEmbed",
+            pred_head_type=HEAD,
+            gradient_checkpointing=REMAT in ("1", "trunk"),
+            head_gradient_checkpointing=REMAT in ("1", "head"),
+            scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
+            dtype=jnp.bfloat16,  # bf16 compute, fp32 params (standard mixed precision)
+            rngs=nnx.Rngs(0),
+        )
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     # BENCH_MU_DTYPE=bfloat16 stores the first adamw moment in bf16 —
     # halves its HBM read+write traffic in the bandwidth-bound optimizer
@@ -81,6 +98,12 @@ def main():
                 lambda x, f: jax.lax.stop_gradient(x) if f else x, params, frozen_mask
             )
         m = nnx.merge(graphdef, params, rest)
+        if MODEL == "flow":
+            from uniception_tpu.parallel.training import flow_confidence_loss
+
+            out = m.forward_pair(img1 + carry * 1e-12, img2)
+            # tgt1 (B,H,W,3) reused: first two channels as the flow target
+            return flow_confidence_loss(out, tgt1[..., :2]).astype(jnp.float32)
         r1, r2 = m.forward_pair(img1 + carry * 1e-12, img2, true_shape1=ts, true_shape2=ts)
         return dust3r_confidence_loss(r1, r2, tgt1, tgt2).astype(jnp.float32)
 
@@ -139,7 +162,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"dust3r_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
+                    "metric": f"{MODEL}_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
                     "value": round(BATCH / per_step, 3),
                     "unit": "pairs/s/chip",
                 }
@@ -164,7 +187,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"dust3r_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
+                "metric": f"{MODEL}_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s/chip",
             }

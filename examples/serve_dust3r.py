@@ -332,6 +332,7 @@ def serve_bucketed(args):
     # flagged or from checkpoint metadata) so every per-bucket graphdef
     # reconstructs the same Int8Linear/w_colsum layout
     quant_spec = getattr(args, "_quant_spec", None)
+    int8_active = quant_spec is not None  # set by _build_model iff the trunk was quantized
 
     def graphdef_for(hw):
         if hw == buckets[0]:

@@ -180,6 +180,9 @@ def main():
         ap.error("--preempt-safe requires --ckpt-dir (there is nowhere to save on SIGTERM)")
     if args.ckpt_every and not args.ckpt_dir:
         ap.error("--ckpt-every requires --ckpt-dir")
+    if args.lora and args.freeze_encoder:
+        # pure argument error: reject BEFORE the expensive model construction
+        ap.error("--lora and --freeze-encoder are separate finetune recipes; pick one")
 
     canvas = (args.img, args.img * 3 // 2) if args.mixed_ar else (args.img, args.img)
     model = DUSt3R(
@@ -200,13 +203,16 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else None,
         rngs=nnx.Rngs(0),
     )
-    if args.lora and args.freeze_encoder:
-        ap.error("--lora and --freeze-encoder are separate finetune recipes; pick one")
     trainable = None
     if args.lora:
         from uniception_tpu.nn import apply_lora, lora_trainable
 
-        n_wrapped = apply_lora(model, rank=args.lora, rngs=nnx.Rngs(1), min_params=1)
+        # standard LoRA recipe: low-rank adapters over the TRUNK linears,
+        # heads stay full-rank (min_params=1 within the trunk so the scope
+        # is the module boundary, not a size threshold — at ViT-L every
+        # trunk linear is large anyway)
+        n_wrapped = apply_lora(model.encoder, rank=args.lora, rngs=nnx.Rngs(1), min_params=1)
+        n_wrapped += apply_lora(model.info_sharing, rank=args.lora, rngs=nnx.Rngs(2), min_params=1)
         print(f"lora: wrapped {n_wrapped} linears at rank {args.lora}")
         trainable = lora_trainable
     elif args.freeze_encoder:

@@ -42,8 +42,9 @@ def main():
     ap.add_argument(
         "--asym",
         default=None,
-        help="asym spec passed to quantize_trunk (default: its own default, "
-        "*.fc2; 'none' = all-symmetric round-3 layout; 'all' = zero-point everywhere)",
+        help="asym spec passed to quantize_trunk (default None = quantize_trunk's "
+        "own default: UNICEPTION_TPU_INT8_ASYM_POLICY env, falling back to 'none' "
+        "= all-symmetric — the measured serving default; 'all' = zero-point everywhere)",
     )
     args = ap.parse_args()
 

@@ -55,6 +55,13 @@ def main():
     if os.path.exists(args.cache):
         data = np.load(args.cache)
         ref_pts, sd = data["pts3d"], {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+        if ref_pts.shape[1:3] != (args.img, args.img):
+            # cache is keyed by file path only: a stale oracle from a
+            # different --img would otherwise be silently compared against
+            raise SystemExit(
+                f"oracle cache {args.cache} was built at {ref_pts.shape[1]}px but --img={args.img}; "
+                "pass a per-size --cache path (e.g. /tmp/tier_oracle_{img}.npz) or delete it"
+            )
         print(f"oracle cache hit: {args.cache}")
     else:
         from uniception.models.factory.dust3r import DUSt3R as TDUSt3R

@@ -23,9 +23,13 @@ remap round-trip (dune.py:172-223 semantics).
 
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
-import torch.nn.functional as F
+
+# importorskip (not a bare import): collection must SKIP without torch,
+# matching the has_reference guard — a bare ImportError at collection
+# would take the whole default tier down on torch-less environments
+torch = pytest.importorskip("torch")
+nn = torch.nn
+F = torch.nn.functional
 from flax import nnx
 
 import jax.numpy as jnp

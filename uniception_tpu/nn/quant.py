@@ -275,7 +275,12 @@ def quantize_trunk(
         wide-K route) — measured frontier in BASELINE.md round 4.
     """
     if asym is None:
-        asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM_POLICY", "none")
+        # the boolean UNICEPTION_TPU_INT8_ASYM=1 knob (documented on
+        # from_linear) maps to the "all" policy here so it works on the
+        # production quantize_trunk path too, not only on direct
+        # quantize_linears calls; the POLICY spelling wins when both are set
+        fallback = "all" if os.environ.get("UNICEPTION_TPU_INT8_ASYM") == "1" else "none"
+        asym = os.environ.get("UNICEPTION_TPU_INT8_ASYM_POLICY", fallback)
     enc_pred, dec_pred = trunk_policy(policy)
     enc_asym, dec_asym = trunk_policy(asym)
     n = quantize_linears(model.encoder, min_params=min_params, predicate=enc_pred, asym=enc_asym)

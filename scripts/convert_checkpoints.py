@@ -92,6 +92,13 @@ def main():
         "start). Name the output .nsv for the packed mmap-zero-copy container "
         "(fastest load); .npz keeps the numpy-interchange zip container",
     )
+    parser.add_argument(
+        "--model",
+        default="dust3r",
+        choices=["dust3r", "flow"],
+        help="(--serving) which composed model the checkpoint belongs to "
+        "(flow = the UFM-style UFMFlow factory)",
+    )
     parser.add_argument("--img-size", type=int, default=512, help="(--serving) model image size")
     parser.add_argument("--head", default="linear", choices=["linear", "dpt"], help="(--serving) head type")
     parser.add_argument("--enc-dim", type=int, default=1024, help="(--serving) encoder width")
@@ -165,27 +172,48 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         from flax import nnx
 
-        from uniception_tpu.models.factory.dust3r import DUSt3R
         from uniception_tpu.utils.coldstart import abstract_construct, materialize, save_native_state
         from uniception_tpu.utils.torch_compat import load_torch_state_dict
 
-        m = abstract_construct(
-            lambda: DUSt3R(
-                name="dust3r_serve",
-                img_size=(args.img_size, args.img_size),
-                patch_embed_cls="ManyAR_PatchEmbed",
-                pred_head_type=args.head,
-                enc_embed_dim=args.enc_dim,
-                enc_depth=args.enc_depth,
-                enc_num_heads=args.enc_heads,
-                info_sharing_dim=args.dec_dim,
-                info_sharing_depth=args.dec_depth,
-                info_sharing_num_heads=args.dec_heads,
-                scan_blocks=not args.no_scan,
-                dtype=jnp.bfloat16,
-                rngs=nnx.Rngs(0),
-            )
-        )
+        if args.model == "flow":
+            from uniception_tpu.models.factory.flow import UFMFlow
+
+            def ctor():
+                return UFMFlow(
+                    name="ufm_flow_serve",
+                    img_size=(args.img_size, args.img_size),
+                    pred_head_type=args.head,
+                    enc_embed_dim=args.enc_dim,
+                    enc_depth=args.enc_depth,
+                    enc_num_heads=args.enc_heads,
+                    info_sharing_dim=args.dec_dim,
+                    info_sharing_depth=args.dec_depth,
+                    info_sharing_num_heads=args.dec_heads,
+                    scan_blocks=not args.no_scan,
+                    dtype=jnp.bfloat16,
+                    rngs=nnx.Rngs(0),
+                )
+        else:
+            from uniception_tpu.models.factory.dust3r import DUSt3R
+
+            def ctor():
+                return DUSt3R(
+                    name="dust3r_serve",
+                    img_size=(args.img_size, args.img_size),
+                    patch_embed_cls="ManyAR_PatchEmbed",
+                    pred_head_type=args.head,
+                    enc_embed_dim=args.enc_dim,
+                    enc_depth=args.enc_depth,
+                    enc_num_heads=args.enc_heads,
+                    info_sharing_dim=args.dec_dim,
+                    info_sharing_depth=args.dec_depth,
+                    info_sharing_num_heads=args.dec_heads,
+                    scan_blocks=not args.no_scan,
+                    dtype=jnp.bfloat16,
+                    rngs=nnx.Rngs(0),
+                )
+
+        m = abstract_construct(ctor)
         load_torch_state_dict(m, model, ignore=m.checkpoint_alias_patterns(), to_device=False)
         save_dtype = None if args.f32 else jnp.bfloat16
         if args.int8:

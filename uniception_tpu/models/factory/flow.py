@@ -188,6 +188,14 @@ class UFMFlow(nnx.Module):
             ckpt = load_checkpoint(pretrained_checkpoint_path)
             load_torch_state_dict(self, ckpt["model"])
 
+    def checkpoint_alias_patterns(self) -> tuple:
+        "Torch-side duplicate-key patterns (same convention as DUSt3R.checkpoint_alias_patterns)."
+        if self.pred_head_type == "dpt":
+            from uniception_tpu.models.prediction_heads.dpt import DPT_CHECKPOINT_ALIASES
+
+            return DPT_CHECKPOINT_ALIASES
+        return ()
+
     # --- forward -----------------------------------------------------------
 
     def _encode_pair(self, img1, img2):

@@ -129,9 +129,12 @@ class FlowAdaptor(UniCeptionAdaptorBase):
         output_normalized_coordinate: bool = False,
     ):
         super().__init__(name, required_channels=2)
-        self.flow_mean = np.asarray(list(flow_mean), np.float32).reshape(1, 2, 1, 1)
-        self.flow_std = np.asarray(list(flow_std), np.float32).reshape(1, 2, 1, 1)
-        assert self.flow_mean.size == 2 and self.flow_std.size == 2
+        # plain python floats, NOT arrays: an ndarray attribute is an nnx
+        # data leaf, which eval_shape (serving abstract_construct) would
+        # turn into a ShapeDtypeStruct that no checkpoint array fills
+        self.flow_mean = tuple(float(v) for v in flow_mean)
+        self.flow_std = tuple(float(v) for v in flow_std)
+        assert len(self.flow_mean) == 2 and len(self.flow_std) == 2
         self.base_shape = list(base_shape)
         self.scale_strategy = scale_strategy
         self.output_normalized_coordinate = output_normalized_coordinate
@@ -157,8 +160,8 @@ class FlowAdaptor(UniCeptionAdaptorBase):
         if not self.output_normalized_coordinate:
             x_scale, y_scale = self._get_xy_scale(output_shape)
             scale = jnp.asarray([x_scale, y_scale], x.dtype).reshape(1, 2, 1, 1)
-            mean = jnp.asarray(self.flow_mean) * scale
-            std = jnp.asarray(self.flow_std) * scale
+            mean = jnp.asarray(self.flow_mean, x.dtype).reshape(1, 2, 1, 1) * scale
+            std = jnp.asarray(self.flow_std, x.dtype).reshape(1, 2, 1, 1) * scale
             x = x * std + mean
         else:
             H, W = output_shape

@@ -40,6 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument(
+        "--model",
+        default="dust3r",
+        choices=["dust3r", "flow"],
+        help="which composed model to serve: dust3r (two-view pointmaps) or flow "
+        "(the UFM-style UFMFlow factory — dense flow + confidence). Every serving "
+        "feature composes for both: native .nsv checkpoints (convert_checkpoints.py "
+        "--serving --model flow), --int8/--gptq, --buckets, --compile-cache, "
+        "--save-artifact/--artifact",
+    )
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--batch", type=int, default=2, help="pairs per device batch")
     p.add_argument("--pairs", type=int, default=8, help="total pairs to run")
@@ -122,9 +132,29 @@ def load_frames(args):
 
 
 def _make_model(args, img_size=None, landscape_only=False):
-    "Plain constructor for the serving DUSt3R (shared by the square and bucketed paths)."
+    "Plain constructor for the serving model (shared by the square and bucketed paths)."
     import jax.numpy as jnp
     from flax import nnx
+
+    if args.model == "flow":
+        from uniception_tpu.models.factory.flow import UFMFlow
+
+        # no ManyAR/landscape_only: flow serving buckets carry orientation in
+        # the canvas itself (data/bucketing.py manyar=False)
+        return UFMFlow(
+            name="ufm_flow_serve",
+            img_size=img_size or (args.img_size, args.img_size),
+            pred_head_type=args.head,
+            enc_embed_dim=args.enc_dim,
+            enc_depth=args.enc_depth,
+            enc_num_heads=args.enc_heads,
+            info_sharing_dim=args.dec_dim,
+            info_sharing_depth=args.dec_depth,
+            info_sharing_num_heads=args.dec_heads,
+            scan_blocks=not args.no_scan,
+            dtype=jnp.bfloat16,
+            rngs=nnx.Rngs(0),
+        )
 
     from uniception_tpu.models.factory.dust3r import DUSt3R
 
@@ -286,6 +316,12 @@ def serve_bucketed(args):
         enable_compilation_cache(args.compile_cache)
 
     buckets = _scaled_buckets(args.img_size)
+    if args.model == "flow":
+        # flow has no ManyAR packing: portrait pairs get their own transposed
+        # canvases instead of riding the landscape canvas rotated
+        from uniception_tpu.data.bucketing import with_portrait_buckets
+
+        buckets = with_portrait_buckets(buckets)
 
     norm = IMAGE_NORMALIZATION_DICT["dust3r"]
     mean = jnp.asarray(norm.mean).reshape(1, 3, 1, 1)
@@ -300,6 +336,11 @@ def serve_bucketed(args):
             x = jnp.transpose(u8, (0, 3, 1, 2)).astype(jnp.float32) / 255.0
             return (x - mean) / std
 
+        if args.model == "flow":
+            # true_shape == canvas shape by construction (manyar=False);
+            # the args stay in the signature so both models share the loop
+            r = m.forward_pair(prep(c1), prep(c2))
+            return r["flow"], r["flow_conf"]
         r1, r2 = m.forward_pair(prep(c1), prep(c2), true_shape1=t1, true_shape2=t2)
         return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
 
@@ -327,7 +368,7 @@ def serve_bucketed(args):
 
         return _bucket_loop(args, buckets, state, get_infer)
 
-    graphdef, state = _build_model(args, img_size=buckets[0], landscape_only=True)
+    graphdef, state = _build_model(args, img_size=buckets[0], landscape_only=args.model == "dust3r")
     # _build_model records the exact (policy, asym) it quantized with (online
     # flagged or from checkpoint metadata) so every per-bucket graphdef
     # reconstructs the same Int8Linear/w_colsum layout
@@ -362,6 +403,7 @@ def serve_bucketed(args):
             save_serving_artifact(
                 p, m, (u8, u8, tsp, tsp), method=serving_fn_bucket,
                 bucket=list(hw), batch=args.batch, head=args.head, int8=int8_active,
+                model_name=args.model,
             )
             print(f"bucket {hw}: artifact written to {p}")
         print(f"{len(buckets)} per-bucket serving artifacts "
@@ -429,7 +471,7 @@ def _bucket_loop(args, buckets, state, get_infer):
             )
             yield i, img1, img2
 
-    batcher = PairBucketedBatcher(args.batch, buckets)
+    batcher = PairBucketedBatcher(args.batch, buckets, manyar=args.model != "flow")
     t0 = time.perf_counter()
     served = 0
     per_bucket = {}
@@ -454,9 +496,12 @@ def _bucket_loop(args, buckets, state, get_infer):
     dt = time.perf_counter() - t0
     print(f"{served} pairs in {dt:.2f}s = {served / dt:.2f} pairs/s across "
           f"{len(per_bucket)} buckets {dict((str(k), v) for k, v in per_bucket.items())}")
-    # native-orientation unpack of the last batch's second view
-    native = extract_view(np.asarray(out[2][0]), t2_np[0])
-    print("pts3d (native orientation):", native.shape)
+    if args.model == "flow":
+        print("flow:", tuple(np.asarray(out[0][0]).shape), "conf:", tuple(np.asarray(out[1][0]).shape))
+    else:
+        # native-orientation unpack of the last batch's second view
+        native = extract_view(np.asarray(out[2][0]), t2_np[0])
+        print("pts3d (native orientation):", native.shape)
 
 
 def main():
@@ -500,6 +545,9 @@ def main():
             x = jnp.transpose(u8, (0, 3, 1, 2)).astype(jnp.float32) / 255.0
             return (x - mean) / std
 
+        if args.model == "flow":
+            r = m.forward_pair(prep(img1_u8), prep(img2_u8))
+            return r["flow"], r["flow_conf"]
         r1, r2 = m.forward_pair(prep(img1_u8), prep(img2_u8), true_shape1=ts, true_shape2=ts)
         return r1["pts3d"], r1["conf"], r2["pts3d_in_other_view"], r2["conf"]
 
@@ -537,6 +585,7 @@ def main():
             save_serving_artifact(
                 args.save_artifact, model, (u8_spec, u8_spec, ts_spec), method=serving_fn,
                 img_size=args.img_size, batch=args.batch, head=args.head, int8=bool(args.int8),
+                model_name=args.model,
             )
             print(f"serving artifact written to {args.save_artifact} "
                   f"(pair with a native --serving checkpoint; serve with --artifact)")
@@ -569,7 +618,10 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     print(f"{done} pairs in {dt:.2f}s = {done / dt:.2f} pairs/s (incl. host preprocessing + staging)")
-    print("pts3d:", out[0].shape, "conf:", out[1].shape)
+    if args.model == "flow":
+        print("flow:", out[0].shape, "flow_conf:", out[1].shape)
+    else:
+        print("pts3d:", out[0].shape, "conf:", out[1].shape)
 
 
 if __name__ == "__main__":

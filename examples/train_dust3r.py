@@ -72,8 +72,37 @@ def synthetic_mixed_dataset(n: int, short: int, long: int, seed: int = 0):
     }
 
 
+def synthetic_flow_dataset(n: int, img: int, seed: int = 0):
+    """Random uint8 image pairs + dense-flow targets for ``--model flow``.
+
+    valid: ~10% of pixels are marked invalid (occlusion stand-in) and their
+    flow target set to a NaN sentinel — exercising the double-where masking
+    in ``flow_confidence_loss`` exactly as real flow datasets (which encode
+    occlusions with NaN/inf) would.
+    """
+    rng = np.random.RandomState(seed)
+    flow = rng.randn(n, img, img, 2).astype(np.float32)
+    valid = (rng.rand(n, img, img) > 0.1).astype(np.float32)
+    flow = np.where(valid[..., None] > 0, flow, np.nan)
+    return {
+        "img1": rng.randint(0, 256, (n, img, img, 3), np.uint8),
+        "img2": rng.randint(0, 256, (n, img, img, 3), np.uint8),
+        "flow": flow,
+        "valid": valid,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model",
+        default="dust3r",
+        choices=["dust3r", "flow"],
+        help="which composed model to train: dust3r (two-view pointmaps, "
+        "confidence loss) or flow (the UFM-style UFMFlow factory, "
+        "flow_confidence_loss with an occlusion-valid mask). Resume, "
+        "--freeze-encoder, --lora, sharding and remat flags compose for both",
+    )
     ap.add_argument("--img", type=int, default=32)
     ap.add_argument("--embed-dim", type=int, default=64)
     ap.add_argument("--depth", type=int, default=2)
@@ -171,6 +200,7 @@ def main():
     from uniception_tpu.parallel.training import (
         PreemptionGuard,
         dust3r_confidence_loss,
+        flow_confidence_loss,
         make_train_step,
         restore_train_state,
         save_train_state,
@@ -184,25 +214,49 @@ def main():
         # pure argument error: reject BEFORE the expensive model construction
         ap.error("--lora and --freeze-encoder are separate finetune recipes; pick one")
 
+    if args.model == "flow" and (args.mixed_ar or args.norm_loss):
+        ap.error("--mixed-ar / --norm-loss are DUSt3R-specific (flow has no ManyAR "
+                 "convention and no pointmap normalization)")
+
     canvas = (args.img, args.img * 3 // 2) if args.mixed_ar else (args.img, args.img)
-    model = DUSt3R(
-        name="train_example",
-        img_size=canvas,
-        patch_embed_cls="ManyAR_PatchEmbed" if args.mixed_ar else "PatchEmbedDust3R",
-        landscape_only=args.mixed_ar,
-        pred_head_type=args.head,
-        enc_embed_dim=args.embed_dim,
-        enc_depth=args.depth,
-        enc_num_heads=args.heads,
-        info_sharing_dim=args.embed_dim,
-        info_sharing_depth=args.depth,
-        info_sharing_num_heads=args.heads,
-        gradient_checkpointing=args.remat,
-        head_gradient_checkpointing={"follow": None, "on": True, "off": False}[args.head_remat],
-        scan_blocks=args.scan,
-        dtype=jnp.bfloat16 if args.bf16 else None,
-        rngs=nnx.Rngs(0),
-    )
+    if args.model == "flow":
+        from uniception_tpu.models.factory.flow import UFMFlow
+
+        model = UFMFlow(
+            name="train_example_flow",
+            img_size=canvas,
+            pred_head_type=args.head,
+            enc_embed_dim=args.embed_dim,
+            enc_depth=args.depth,
+            enc_num_heads=args.heads,
+            info_sharing_dim=args.embed_dim,
+            info_sharing_depth=args.depth,
+            info_sharing_num_heads=args.heads,
+            gradient_checkpointing=args.remat,
+            head_gradient_checkpointing={"follow": None, "on": True, "off": False}[args.head_remat],
+            scan_blocks=args.scan,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+            rngs=nnx.Rngs(0),
+        )
+    else:
+        model = DUSt3R(
+            name="train_example",
+            img_size=canvas,
+            patch_embed_cls="ManyAR_PatchEmbed" if args.mixed_ar else "PatchEmbedDust3R",
+            landscape_only=args.mixed_ar,
+            pred_head_type=args.head,
+            enc_embed_dim=args.embed_dim,
+            enc_depth=args.depth,
+            enc_num_heads=args.heads,
+            info_sharing_dim=args.embed_dim,
+            info_sharing_depth=args.depth,
+            info_sharing_num_heads=args.heads,
+            gradient_checkpointing=args.remat,
+            head_gradient_checkpointing={"follow": None, "on": True, "off": False}[args.head_remat],
+            scan_blocks=args.scan,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+            rngs=nnx.Rngs(0),
+        )
     trainable = None
     if args.lora:
         from uniception_tpu.nn import apply_lora, lora_trainable
@@ -220,7 +274,13 @@ def main():
 
     norm_mode = "avg_dis" if args.norm_loss else None
     loss_fn = None
-    if args.mixed_ar:
+    if args.model == "flow":
+        # step signature is fixed at (params, opt, a, b, t1, t2): the flow
+        # target rides t1 and the occlusion-valid mask rides t2
+        def loss_fn(m, img1, img2, target_flow, valid):
+            out = m.forward_pair(img1, img2)
+            return flow_confidence_loss(out, target_flow, valid=valid > 0)
+    elif args.mixed_ar:
         # true_shapes ride inside the "image" pytree slots — the step
         # signature is unchanged (its img/target args are arbitrary pytrees)
         def loss_fn(m, v1, v2, target1, target2):
@@ -285,7 +345,9 @@ def main():
                 opt_state = replicate_state(opt_state, ctx.mesh)
         print(f"resumed from {args.ckpt_dir} at step {start_step}")
 
-    if args.mixed_ar:
+    if args.model == "flow":
+        data = synthetic_flow_dataset(args.dataset_size, args.img)
+    elif args.mixed_ar:
         data = synthetic_mixed_dataset(args.dataset_size, *canvas)
     else:
         data = synthetic_dataset(args.dataset_size, args.img)
@@ -298,6 +360,9 @@ def main():
         for b in sampler:
             img1 = normalize_batch(b["img1"], "dust3r")
             img2 = normalize_batch(b["img2"], "dust3r")
+            if args.model == "flow":
+                yield {"img1": img1, "img2": img2, "pts1": b["flow"], "pts2": b["valid"]}
+                continue
             if args.mixed_ar:
                 img1 = {"img": img1, "ts": b["ts1"]}
                 img2 = {"img": img2, "ts": b["ts2"]}

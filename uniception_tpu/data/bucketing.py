@@ -28,6 +28,7 @@ __all__ = [
     "DUST3R_224_BUCKETS",
     "assign_bucket",
     "resize_to_bucket",
+    "with_portrait_buckets",
     "BucketedBatcher",
     "PairBucketedBatcher",
 ]
@@ -101,27 +102,50 @@ DUST3R_512_BUCKETS: Tuple[Tuple[int, int], ...] = ((384, 512), (336, 512), (288,
 DUST3R_224_BUCKETS: Tuple[Tuple[int, int], ...] = ((224, 224),)
 
 
-def assign_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS) -> Tuple[int, bool]:
+def assign_bucket(
+    h: int,
+    w: int,
+    buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS,
+    manyar: bool = True,
+) -> Tuple[int, bool]:
     """Pick the bucket whose aspect ratio best matches an (h, w) image.
 
-    Orientation-normalized: a portrait image (h > w) is matched against the
-    landscape buckets transposed and flagged for the ManyAR canvas.
+    manyar=True (default): orientation-normalized — a portrait image
+    (h > w) is matched against the landscape buckets transposed and flagged
+    for the ManyAR canvas. The bucket family must be all-landscape.
 
-    Returns (bucket_index, is_portrait). Matching minimizes
-    |log(bucket_ar) - log(image_ar)| — symmetric in over/under-wide.
+    manyar=False: orientation is part of the canvas — the image's actual
+    aspect is matched against each bucket's actual aspect and nothing is
+    ever transposed (use :func:`with_portrait_buckets` to give portraits
+    their own canvases). For models without the ManyAR convention
+    (``UFMFlow``: the reference's named consumer UFM has no
+    orientation-packing path either).
+
+    Returns (bucket_index, is_portrait — always False when manyar=False).
+    Matching minimizes |log(bucket_ar) - log(image_ar)| — symmetric in
+    over/under-wide.
     """
     if h <= 0 or w <= 0:
         raise ValueError(f"bad image size ({h}, {w})")
-    portrait = h > w
-    ar = (w / h) if not portrait else (h / w)
+    portrait = manyar and h > w
+    ar = (h / w) if portrait else (w / h)
     best, best_err = 0, float("inf")
     for i, (bh, bw) in enumerate(buckets):
-        if bh > bw:
+        if manyar and bh > bw:
             raise ValueError(f"bucket {i} {(bh, bw)} is not a landscape canvas (h <= w)")
         err = abs(np.log(bw / bh) - np.log(ar))
         if err < best_err:
             best, best_err = i, err
     return best, portrait
+
+
+def with_portrait_buckets(buckets: Sequence[Tuple[int, int]]) -> Tuple[Tuple[int, int], ...]:
+    "Extend a landscape bucket family with each canvas's transpose (manyar=False mode)."
+    out = [tuple(b) for b in buckets]
+    for bh, bw in list(out):
+        if bh != bw and (bw, bh) not in out:
+            out.append((bw, bh))
+    return tuple(out)
 
 
 def resize_to_bucket(
@@ -225,19 +249,30 @@ class PairBucketedBatcher:
     true_shape1 (B, 2), true_shape2, meta)``; ``flush()`` drains remainders
     padded to the batch size (``meta["n_valid"]`` marks real rows) so every
     served shape stays static and each bucket compiles exactly once.
+
+    ``manyar=False`` disables the orientation packing for models without
+    the ManyAR convention (``UFMFlow``): buckets may then include portrait
+    canvases (:func:`with_portrait_buckets`), nothing is transposed, and
+    ``true_shape`` always equals the canvas shape.
     """
 
-    def __init__(self, batch_size: int, buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS):
+    def __init__(
+        self,
+        batch_size: int,
+        buckets: Sequence[Tuple[int, int]] = DUST3R_512_BUCKETS,
+        manyar: bool = True,
+    ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
         self.batch_size = batch_size
         self.buckets = [tuple(b) for b in buckets]
+        self.manyar = manyar
         self._pending: Dict[int, List[tuple]] = {}
 
     def add(self, img1: np.ndarray, img2: np.ndarray, key: object = None) -> Iterator[tuple]:
         "Buffer one HWC-image pair; yields any batch this fill completes."
-        idx, portrait1 = assign_bucket(img1.shape[0], img1.shape[1], self.buckets)
-        portrait2 = img2.shape[0] > img2.shape[1]
+        idx, portrait1 = assign_bucket(img1.shape[0], img1.shape[1], self.buckets, manyar=self.manyar)
+        portrait2 = self.manyar and img2.shape[0] > img2.shape[1]
         c1, ts1 = resize_to_bucket(img1, self.buckets[idx], portrait1)
         c2, ts2 = resize_to_bucket(img2, self.buckets[idx], portrait2)
         self._pending.setdefault(idx, []).append((c1, c2, ts1, ts2, key))

@@ -1,6 +1,7 @@
 """
 Numeric oracles for the torch.hub-wrapped encoders: DINOv2 (with and
-without registers), DUNE, and DINOv3-ViT.
+without registers), DUNE, DINOv3-ViT, DINOv3-ConvNeXt, and RADIO's
+plain-ViT trunk (only E-RADIO — a hub-external hybrid — stays oracle-less).
 
 The reference wraps torch.hub trunks (uniception/models/encoders/
 dinov2.py:90-102, dune.py:87-118, dinov3.py:85-98), so no in-repo torch
@@ -58,7 +59,7 @@ class TorchDinoViT(nn.Module):
     "DINOv2-style trunk: conv patchify, cls(+register) tokens, PE interp, pre-norm blocks."
 
     def __init__(self, img_size=518, patch_size=14, embed_dim=64, depth=2, num_heads=4,
-                 num_register_tokens=0, interpolate_offset=0.1):
+                 num_register_tokens=0, interpolate_offset=0.1, init_values=1.0):
         super().__init__()
         tb = _ref_blocks()
         from functools import partial
@@ -76,7 +77,7 @@ class TorchDinoViT(nn.Module):
         self.blocks = nn.ModuleList([
             tb.SelfAttentionBlock(
                 dim=embed_dim, num_heads=num_heads, mlp_ratio=4.0, qkv_bias=True,
-                init_values=1.0, norm_layer=partial(nn.LayerNorm, eps=1e-6),
+                init_values=init_values, norm_layer=partial(nn.LayerNorm, eps=1e-6),
             )
             for _ in range(depth)
         ])
@@ -347,6 +348,219 @@ def test_dune_encoder_parity_and_ckpt_remap(tmp_path):
     assert feats.shape == (1, 384, 4, 5)
     expected = t_out["x_norm_patchtokens"].numpy().reshape(1, 4, 5, 384).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(feats, expected, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DINOv3 ConvNeXt — hand-written torch ConvNeXt in the official state-dict
+# layout (reference wraps torch.hub dinov3_convnext_*, dinov3.py:257-371)
+# ---------------------------------------------------------------------------
+
+
+class _ChannelsFirstLayerNorm(nn.Module):
+    "Official-ConvNeXt channels_first LayerNorm (weight/bias over the C dim of NCHW)."
+
+    def __init__(self, dim, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.bias = nn.Parameter(torch.zeros(dim))
+        self.eps = eps
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + self.eps)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+class _TorchConvNextBlock(nn.Module):
+    "dw7x7 -> LN -> pw 4x -> GELU(exact) -> pw -> gamma, residual. NCHW outside."
+
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, 4 * dim)
+        self.pwconv2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):
+        inp = x
+        x = self.dwconv(x).permute(0, 2, 3, 1)
+        x = self.pwconv2(F.gelu(self.pwconv1(self.norm(x))))
+        return inp + (self.gamma * x).permute(0, 3, 1, 2)
+
+
+class TorchConvNext(nn.Module):
+    "ConvNeXt trunk, official key layout: downsample_layers.N.{0,1}, stages.N.M.*, norm."
+
+    def __init__(self, depths, dims):
+        super().__init__()
+        self.downsample_layers = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(3, dims[0], 4, stride=4), _ChannelsFirstLayerNorm(dims[0]))]
+            + [
+                nn.Sequential(
+                    _ChannelsFirstLayerNorm(dims[i]), nn.Conv2d(dims[i], dims[i + 1], 2, stride=2)
+                )
+                for i in range(3)
+            ]
+        )
+        self.stages = nn.ModuleList(
+            [nn.Sequential(*[_TorchConvNextBlock(dims[i]) for _ in range(depths[i])]) for i in range(4)]
+        )
+        self.norm = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def stage_outputs(self, x):
+        outs = []
+        for i in range(4):
+            x = self.stages[i](self.downsample_layers[i](x))
+            outs.append(x)
+        return outs
+
+    def forward_features(self, img):
+        out = self.stage_outputs(img)[-1]
+        B, C, h, w = out.shape
+        tokens = out.permute(0, 2, 3, 1).reshape(B, h * w, C)
+        return {"x_norm_patchtokens": self.norm(tokens)}
+
+
+def test_dinov3_convnext_parity_and_ckpt(tmp_path):
+    """DINOv3ConvNextEncoder ('tiny': depths 3-3-9-3, dims 96-768) vs the
+    hand-written torch ConvNeXt, loaded through pretrained_checkpoint_path
+    (official 'model.downsample_layers.*' key layout, dinov3.py:325-333
+    load semantics). Final grid is H/32 x W/32 (final_layer_patch_size=32)."""
+    from uniception_tpu.models.encoders.dinov3 import DINOv3ConvNextEncoder
+    from uniception_tpu.utils.checkpoint import save_checkpoint
+
+    t = _TorchDINOv2Wrapper(_randomize(TorchConvNext((3, 3, 9, 3), (96, 192, 384, 768)), seed=11))
+    # ConvNeXt is residual: 0.02-scale random weights keep activations sane
+    sd = {k: v.numpy() for k, v in t.state_dict().items()}
+    ckpt = str(tmp_path / "dinov3_convnext.npz")
+    save_checkpoint(ckpt, sd)
+
+    j = DINOv3ConvNextEncoder(
+        name="dinov3_convnext", size="tiny", pretrained_checkpoint_path=ckpt, rngs=nnx.Rngs(0)
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        t_out = t.model.forward_features(torch.from_numpy(img))
+    j_out = j(ViTEncoderInput(image=jnp.asarray(img), data_norm_type="dinov3"))
+
+    feats = np.asarray(j_out.features)
+    assert feats.shape == (2, 768, 2, 3)  # 64/32 x 96/32
+    expected = t_out["x_norm_patchtokens"].numpy().reshape(2, 2, 3, 768).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(feats, expected, atol=1e-4, rtol=1e-4)
+
+
+def test_dinov3_convnext_ifr_parity():
+    "IFR variant: per-stage NCHW feature maps at the requested indices."
+    from uniception_tpu.models.encoders.dinov3 import DINOv3ConvNextIntermediateFeatureReturner
+    from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+    t = _TorchDINOv2Wrapper(_randomize(TorchConvNext((3, 3, 9, 3), (96, 192, 384, 768)), seed=12))
+    j = DINOv3ConvNextIntermediateFeatureReturner(
+        name="dinov3_convnext", size="tiny", indices=[0, 2, 3], rngs=nnx.Rngs(0)
+    )
+    load_torch_state_dict(j, t.state_dict())
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t_outs = t.model.stage_outputs(torch.from_numpy(img))
+    j_outs = j(ViTEncoderInput(image=jnp.asarray(img), data_norm_type="dinov3"))
+
+    assert len(j_outs) == 3
+    for out, i in zip(j_outs, [0, 2, 3]):
+        np.testing.assert_allclose(
+            np.asarray(out.features), t_outs[i].numpy(), atol=1e-4, rtol=1e-4, err_msg=f"stage {i}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# RADIO — plain-ViT trunk (timm-style: registers, NO LayerScale, PE table at
+# the 37x37 CPE training grid) vs the torch oracle; hub checkpoints are
+# network-gated so only e-radio stays a flagged partial
+# ---------------------------------------------------------------------------
+
+
+def test_radio_parity_and_ckpt(tmp_path):
+    """RADIOEncoder (radio_v2.5-b trunk dims, keep_first_n_layers=2) vs the
+    torch oracle through pretrained_checkpoint_path: ckpt['model'] keys carry
+    the 'model.' trunk prefix (reference radio.py:100-104 loads into the
+    encoder itself) and hub-side junk keys must be tolerated (strict=False)."""
+    from uniception_tpu.models.encoders.radio import RADIOEncoder
+    from uniception_tpu.utils.checkpoint import save_checkpoint
+
+    t = _TorchDINOv2Wrapper(
+        _randomize(
+            TorchDinoViT(img_size=16 * 37, patch_size=16, embed_dim=768, depth=2,
+                         num_heads=12, num_register_tokens=8, init_values=None),
+            seed=13,
+        )
+    )
+    sd = {k: v.numpy() for k, v in t.state_dict().items()}
+    assert not any(".ls1." in k or ".gamma" in k for k in sd), "RADIO ViT has no LayerScale"
+    sd["input_conditioner.norm_mean"] = np.zeros((1, 3, 1, 1), np.float32)  # hub junk: skipped
+    ckpt = str(tmp_path / "radio.npz")
+    save_checkpoint(ckpt, sd)
+
+    j = RADIOEncoder(
+        name="radio", model_version="radio_v2.5-b", keep_first_n_layers=2,
+        pretrained_checkpoint_path=ckpt, rngs=nnx.Rngs(0),
+    )
+    assert j.model.pos_embed[...].shape == (1, 37 * 37 + 1, 768)
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(1, 3, 64, 96).astype(np.float32)  # 4x6 grid: interp from 37x37
+    with torch.no_grad():
+        t_out = t.model.forward_features(torch.from_numpy(img))
+    j_out = j(ViTEncoderInput(image=jnp.asarray(img), data_norm_type="radio"))
+
+    feats = np.asarray(j_out.features)
+    assert feats.shape == (1, 768, 4, 6)
+    expected = t_out["x_norm_patchtokens"].numpy().reshape(1, 4, 6, 768).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(feats, expected, atol=1e-4, rtol=1e-4)
+
+
+def test_radio_intermediate_returner_parity():
+    "RADIO IFR: normed intermediate patch tokens vs a manual torch collect."
+    from uniception_tpu.models.encoders.radio import RADIOIntermediateFeatureReturner
+    from uniception_tpu.utils.torch_compat import load_torch_state_dict
+
+    t = _TorchDINOv2Wrapper(
+        _randomize(
+            TorchDinoViT(img_size=16 * 37, patch_size=16, embed_dim=768, depth=2,
+                         num_heads=12, num_register_tokens=8, init_values=None),
+            seed=14,
+        )
+    )
+    j = RADIOIntermediateFeatureReturner(
+        name="radio", model_version="radio_v2.5-b", keep_first_n_layers=2,
+        indices=[0, 1], rngs=nnx.Rngs(0),
+    )
+    load_torch_state_dict(j, t.state_dict())
+
+    rng = np.random.RandomState(3)
+    img = rng.randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        timg = torch.from_numpy(img)
+        cls_pe, patch_pe = t.model._interp_pe(4, 4)
+        x = t.model.patch_embed.proj(timg).flatten(2).transpose(1, 2) + patch_pe
+        x = torch.cat(
+            [(t.model.cls_token + cls_pe).expand(1, -1, -1),
+             t.model.register_tokens.expand(1, -1, -1), x], 1
+        )
+        collected = []
+        for blk in t.model.blocks:
+            x = blk(x)
+            collected.append(t.model.norm(x)[:, 1 + 8 :])  # normed patch tokens
+
+    outs = j(ViTEncoderInput(image=jnp.asarray(img), data_norm_type="radio"))
+    assert len(outs) == 2
+    for out, expect in zip(outs, collected):
+        expected = expect.numpy().reshape(1, 4, 4, 768).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(np.asarray(out.features), expected, atol=1e-4, rtol=1e-4)
 
 
 # ---------------------------------------------------------------------------

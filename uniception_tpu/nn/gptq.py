@@ -40,6 +40,7 @@ __all__ = [
     "HessianState",
     "install_hessian_capture",
     "harvest_hessians",
+    "harvest_act_amax",
     "gptq_int8",
     "apply_gptq",
     "load_gptq_npz",
@@ -70,11 +71,16 @@ class _HessianCapture(nnx.Module):
         d = int(inner.kernel.shape[-2])
         self.h = HessianState(jnp.zeros((d, d), jnp.float32))
         self.n = HessianState(jnp.zeros((), jnp.float32))
+        # per-input-channel |x| max over all calibration tokens — the
+        # activation statistic SmoothQuant-style scale migration needs
+        # (nn/smooth.py); free to carry alongside the Hessian
+        self.amax = HessianState(jnp.zeros((d,), jnp.float32))
 
     def __call__(self, x):
         xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
         self.h.value = self.h.value + xf.T @ xf
         self.n.value = self.n.value + jnp.float32(xf.shape[0])
+        self.amax.value = jnp.maximum(self.amax.value, jnp.abs(xf).max(axis=0))
         return self.inner(x)
 
 
@@ -122,6 +128,20 @@ def install_hessian_capture(
                 child, min_params=min_params, predicate=predicate, _path=child_path
             )
     return count
+
+
+def harvest_act_amax(module: nnx.Module, *, _path: str = "") -> Dict[str, np.ndarray]:
+    """Collect ``{dotted_path: per-input-channel |x| max}`` from the installed
+    capture wrappers WITHOUT unwrapping them (call before
+    :func:`harvest_hessians`). Feed to ``nn/smooth.py``'s scale migration."""
+    out: Dict[str, np.ndarray] = {}
+    for _, name, child in _maybe_children(module):
+        child_path = f"{_path}.{name}".lstrip(".")
+        if isinstance(child, _HessianCapture):
+            out[child_path] = np.asarray(child.amax[...], np.float64)
+        elif isinstance(child, (nnx.Module, list, nnx.List)) and not isinstance(child, Int8Linear):
+            out.update(harvest_act_amax(child, _path=child_path))
+    return out
 
 
 def harvest_hessians(module: nnx.Module, *, unwrap: bool = True, _path: str = "") -> Dict[str, np.ndarray]:

@@ -45,7 +45,24 @@ def main():
     # head = DPT-head fusion/regressor only (the heads' fp32 full-res
     # activations, not the trunk, set the dpt memory boundary)
     REMAT = os.environ.get("BENCH_REMAT", "0")
-    if MODEL == "flow":
+    # BENCH_MODEL=multiview: N-frame alternating-attention training
+    # (factory/multiview.py + multiview_confidence_loss) — the VGGT-style
+    # consumer config; BENCH_VIEWS sets N (default 4), metric is frames/s
+    VIEWS = int(os.environ.get("BENCH_VIEWS", "4"))
+    if MODEL == "multiview":
+        from uniception_tpu.models.factory.multiview import MultiViewPointmapModel
+
+        model = MultiViewPointmapModel(
+            name=f"multiview_{VIEWS}x{IMG}",
+            num_views=VIEWS,
+            img_size=(IMG, IMG),
+            attention_type=os.environ.get("BENCH_ATTN_TYPE", "alternating"),
+            gradient_checkpointing=REMAT in ("1", "trunk"),
+            scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
+            dtype=jnp.bfloat16,
+            rngs=nnx.Rngs(0),
+        )
+    elif MODEL == "flow":
         from uniception_tpu.models.factory.flow import UFMFlow
 
         model = UFMFlow(
@@ -98,6 +115,13 @@ def main():
                 lambda x, f: jax.lax.stop_gradient(x) if f else x, params, frozen_mask
             )
         m = nnx.merge(graphdef, params, rest)
+        if MODEL == "multiview":
+            from uniception_tpu.parallel.training import multiview_confidence_loss
+
+            # img1 is the stacked (V, B, 3, H, W) clip; tgt1 is (V, B, H, W, 3)
+            views = [img1[0] + carry * 1e-12] + [img1[v] for v in range(1, VIEWS)]
+            results = m(views)
+            return multiview_confidence_loss(results, [tgt1[v] for v in range(VIEWS)]).astype(jnp.float32)
         if MODEL == "flow":
             from uniception_tpu.parallel.training import flow_confidence_loss
 
@@ -150,21 +174,39 @@ def main():
         return (times[2 + iters] - times[2]) / iters
 
     rng = np.random.RandomState(0)
-    img1 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
-    img2 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
-    tgt1 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
-    tgt2 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
+    if MODEL == "multiview":
+        img1 = jnp.asarray(rng.randn(VIEWS, BATCH, 3, IMG, IMG).astype(np.float32))
+        tgt1 = jnp.asarray(rng.randn(VIEWS, BATCH, IMG, IMG, 3).astype(np.float32))
+        img2 = tgt2 = jnp.zeros((1,), jnp.float32)  # unused slots in the fixed step signature
+    else:
+        img1 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
+        img2 = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32))
+        tgt1 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
+        tgt2 = jnp.asarray(rng.randn(BATCH, IMG, IMG, 3).astype(np.float32))
     ts = jnp.broadcast_to(jnp.asarray([IMG, IMG], jnp.int32), (BATCH, 2))
     args = (params, opt_state, img1, img2, ts, tgt1, tgt2)
+
+    if MODEL == "multiview":
+        metric = {
+            "metric": f"multiview{VIEWS}_vitl_{IMG}_train_frames_per_sec",
+            "unit": "frames/s/chip",
+            "scale": VIEWS * BATCH,
+        }
+    else:
+        metric = {
+            "metric": f"{MODEL}_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
+            "unit": "pairs/s/chip",
+            "scale": BATCH,
+        }
 
     if os.environ.get("BENCH_DONATE") == "1":
         per_step = run_donated(params, opt_state, (img1, img2, ts, tgt1, tgt2), max(ITERS, 10))
         print(
             json.dumps(
                 {
-                    "metric": f"{MODEL}_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
-                    "value": round(BATCH / per_step, 3),
-                    "unit": "pairs/s/chip",
+                    "metric": metric["metric"],
+                    "value": round(metric["scale"] / per_step, 3),
+                    "unit": metric["unit"],
                 }
             )
         )
@@ -183,13 +225,12 @@ def main():
         float(long(*args))
         t_long.append(time.perf_counter() - t0)
     per_step = (min(t_long) - min(t_short)) / ITERS
-    pairs_per_sec = BATCH / per_step
     print(
         json.dumps(
             {
-                "metric": f"{MODEL}_vitl_{IMG}_{HEAD}_train_pairs_per_sec",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s/chip",
+                "metric": metric["metric"],
+                "value": round(metric["scale"] / per_step, 3),
+                "unit": metric["unit"],
             }
         )
     )

@@ -53,6 +53,7 @@ class MultiViewPointmapModel(nnx.Module):
         use_rand_idx_pe_for_non_reference_views: bool = False,
         sequence_parallel: Optional[tuple] = None,
         scan_blocks: bool = False,
+        gradient_checkpointing: bool = False,
         *,
         dtype=None,
         param_dtype=jnp.float32,
@@ -77,6 +78,7 @@ class MultiViewPointmapModel(nnx.Module):
             enc_depth=enc_depth,
             enc_num_heads=enc_num_heads,
             scan_blocks=scan_blocks,
+            gradient_checkpointing=gradient_checkpointing,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
@@ -94,6 +96,7 @@ class MultiViewPointmapModel(nnx.Module):
             num_heads=info_sharing_num_heads,
             use_rand_idx_pe_for_non_reference_views=use_rand_idx_pe_for_non_reference_views,
             scan_blocks=scan_blocks,
+            gradient_checkpointing=gradient_checkpointing,
             dtype=dtype,
             param_dtype=param_dtype,
             rngs=rngs,
